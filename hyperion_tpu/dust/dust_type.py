@@ -1,0 +1,279 @@
+"""Dust model container: optical properties + mean opacities + emissivities.
+
+Parity target: the reference's ``SphericalDust`` family and its HDF5 dust-file
+format version 2 (ref: hyperion/dust/dust_type.py:43-760). A dust file holds
+the optical-properties tables, mean-opacity tables, emissivity tables and
+sublimation attributes; ``temperature2specific_energy`` and its inverse are
+log-log interpolations along the mean-opacity table.
+"""
+
+import hashlib
+import os
+
+import numpy as np
+
+from ..util.constants import c, sigma
+from ..util.functions import FreezableClass, asstr
+from ..util.integrate import integrate_loglog
+from ..util.interpolate import interp1d_fast_loglog
+from .optical_properties import OpticalProperties
+from .mean_opacities import MeanOpacities
+from .emissivities import Emissivities
+
+from .. import __version__
+
+
+def henyey_greenstein(mu, g, p_lin_max):
+    """Henyey-Greenstein (1941) phase function matrix elements at cos(theta)=mu.
+
+    Returns P1 (phase function), P2 (linear polarization, peaking at
+    ``p_lin_max`` at 90 degrees), P3 (circular-transfer term), P4 (zero) for
+    arrays ``g``/``p_lin_max`` over frequency.
+    """
+    P1 = (1.0 - g ** 2) / (1.0 + g ** 2 - 2.0 * g * mu) ** 1.5
+    P2 = -p_lin_max * P1 * (1.0 - mu ** 2) / (1.0 + mu ** 2)
+    P3 = P1 * 2.0 * mu / (1.0 + mu ** 2)
+    P4 = np.zeros_like(P1)
+    return P1, P2, P3, P4
+
+
+class SphericalDust(FreezableClass):
+    """A dust population with angle-averaged (spherical-grain) properties."""
+
+    def __init__(self, *args):
+
+        self.optical_properties = OpticalProperties()
+        self.mean_opacities = MeanOpacities()
+        self.emissivities = Emissivities()
+
+        self.md5 = None
+        self._file = None
+
+        self.sublimation_mode = 'no'
+        self.sublimation_energy = 0.0
+
+        self._freeze()
+
+        if len(args) == 0:
+            pass
+        elif len(args) == 1:
+            self.read(args[0])
+        else:
+            raise Exception("SphericalDust cannot take more than one argument")
+
+    # -- hashing (used for density-grid merging decisions) --------------------
+
+    def hash(self):
+        h = hashlib.md5()
+        self.optical_properties.hash_update(h)
+        self.mean_opacities.hash_update(h)
+        self.emissivities.hash_update(h)
+        h.update(self.sublimation_mode.encode('utf-8'))
+        h.update(np.float64(self.sublimation_energy).tobytes())
+        return h.hexdigest()
+
+    # -- sublimation -----------------------------------------------------------
+
+    def set_sublimation_temperature(self, mode, temperature=0.0):
+        """Set sublimation mode ('no'/'fast'/'slow'/'cap') and temperature (K)."""
+        if mode not in ['no', 'fast', 'slow', 'cap']:
+            raise Exception("mode should be one of no/fast/slow/cap")
+        self.sublimation_mode = mode
+        if mode != 'no':
+            self.sublimation_energy = float(
+                self.temperature2specific_energy(temperature))
+
+    def set_sublimation_specific_energy(self, mode, specific_energy=0.0):
+        """Set sublimation mode and threshold specific energy (cgs)."""
+        if mode not in ['no', 'fast', 'slow', 'cap']:
+            raise Exception("mode should be one of no/fast/slow/cap")
+        self.sublimation_mode = mode
+        self.sublimation_energy = float(specific_energy)
+
+    def _write_dust_sublimation(self, group):
+        group.attrs['sublimation_mode'] = np.bytes_(self.sublimation_mode)
+        if self.sublimation_mode in ['slow', 'fast', 'cap']:
+            group.attrs['sublimation_specific_energy'] = self.sublimation_energy
+
+    def _read_dust_sublimation(self, group):
+        if 'sublimation_mode' in group.attrs:
+            self.sublimation_mode = asstr(group.attrs['sublimation_mode'])
+            if self.sublimation_mode in ['slow', 'fast', 'cap']:
+                self.sublimation_energy = float(
+                    group.attrs['sublimation_specific_energy'])
+
+    # -- derived quantities ----------------------------------------------------
+
+    def _compute_mean_opacities(self):
+        if not self.mean_opacities.all_set():
+            self.mean_opacities.compute(self.optical_properties)
+
+    def chi_nu_temperature(self, temperature):
+        """Planck-mean extinction opacity for a blackbody at ``temperature``."""
+        self._compute_mean_opacities()
+        return interp1d_fast_loglog(self.mean_opacities.temperature,
+                                    self.mean_opacities.chi_planck, temperature)
+
+    def kappa_nu_temperature(self, temperature):
+        """Planck-mean absorption opacity for a blackbody at ``temperature``."""
+        self._compute_mean_opacities()
+        return interp1d_fast_loglog(self.mean_opacities.temperature,
+                                    self.mean_opacities.kappa_planck, temperature)
+
+    def chi_nu_spectrum(self, nu, fnu):
+        """Spectrum-weighted mean extinction opacity."""
+        self.optical_properties.ensure_all_set()
+        if nu.min() < self.optical_properties.nu.min() or \
+           nu.max() > self.optical_properties.nu.max():
+            raise Exception("Opacity to extinction is not defined at all "
+                            "spectrum frequencies")
+        chi_nu = self.optical_properties.interp_chi_nu(nu)
+        return integrate_loglog(nu, fnu * chi_nu) / integrate_loglog(nu, fnu)
+
+    def kappa_nu_spectrum(self, nu, fnu):
+        """Spectrum-weighted mean absorption opacity."""
+        self.optical_properties.ensure_all_set()
+        if nu.min() < self.optical_properties.nu.min() or \
+           nu.max() > self.optical_properties.nu.max():
+            raise Exception("Opacity to absorption is not defined at all "
+                            "spectrum frequencies")
+        kappa_nu = self.optical_properties.interp_kappa_nu(nu)
+        return integrate_loglog(nu, fnu * kappa_nu) / integrate_loglog(nu, fnu)
+
+    def temperature2specific_energy(self, temperature):
+        self._compute_mean_opacities()
+        tt = self.mean_opacities.temperature
+        ee = self.mean_opacities.specific_energy
+        se = interp1d_fast_loglog(tt, ee, np.clip(temperature, tt[0], tt[-1]))
+        return se
+
+    def specific_energy2temperature(self, specific_energy):
+        self._compute_mean_opacities()
+        tt = self.mean_opacities.temperature
+        ee = self.mean_opacities.specific_energy
+        temp = interp1d_fast_loglog(ee, tt, np.clip(specific_energy, ee[0], ee[-1]))
+        return temp
+
+    # -- I/O ------------------------------------------------------------------
+
+    def write(self, filename, compression=True):
+        """Write a standard dust file (format version 2), computing mean
+        opacities and LTE emissivities on demand."""
+        import h5py
+
+        self.optical_properties.ensure_all_set()
+        self._compute_mean_opacities()
+        if not self.emissivities.all_set():
+            self.emissivities.set_lte(self.optical_properties,
+                                      self.mean_opacities)
+
+        if isinstance(filename, str):
+            dt = h5py.File(filename, 'w')
+        else:
+            dt = filename
+
+        dt.attrs['version'] = 2
+        dt.attrs['type'] = 1
+        dt.attrs['python_version'] = np.bytes_(__version__)
+        if self.md5:
+            dt.attrs['asciimd5'] = np.bytes_(self.md5)
+
+        self.optical_properties.to_hdf5_group(dt, compression=compression)
+        self.mean_opacities.to_hdf5_group(dt, compression=compression)
+        self.emissivities.to_hdf5_group(dt, compression=compression)
+        self._write_dust_sublimation(dt)
+
+        if isinstance(dt, h5py.File):
+            dt.close()
+            self._file = (filename, self.hash())
+
+    def read(self, filename):
+        """Read a standard dust file (format version 1 or 2)."""
+        import h5py
+
+        if isinstance(filename, str):
+            if not os.path.exists(filename):
+                raise Exception("File not found: %s" % filename)
+            dt = h5py.File(filename, 'r')
+            close = True
+        else:
+            dt = filename
+            close = False
+
+        if dt.attrs['version'] not in [1, 2]:
+            raise Exception("Version should be 1 or 2")
+        if dt.attrs['type'] != 1:
+            raise Exception("Type should be 1")
+        self.md5 = asstr(dt.attrs['asciimd5']) if 'asciimd5' in dt.attrs else None
+
+        self.optical_properties.from_hdf5_group(dt)
+        if dt.attrs['version'] == 1:
+            self.mean_opacities.compute(self.optical_properties)
+        else:
+            self.mean_opacities.from_hdf5_group(dt)
+        self.emissivities.from_hdf5_group(dt)
+        self._read_dust_sublimation(dt)
+
+        if close:
+            dt.close()
+            self._file = (filename, self.hash())
+
+
+class IsotropicDust(SphericalDust):
+    """Isotropically scattering dust defined by (nu, albedo, chi) arrays."""
+
+    def __init__(self, nu, albedo, chi):
+        SphericalDust.__init__(self)
+        op = self.optical_properties
+        op.mu = np.linspace(-1.0, 1.0, 2)
+        op.nu = np.asarray(nu, dtype=float)
+        op.albedo = np.asarray(albedo, dtype=float)
+        op.chi = np.asarray(chi, dtype=float)
+        op.initialize_scattering_matrix()
+        op.P1[:, :] = 1.0
+        op.P2[:, :] = 0.0
+        op.P3[:, :] = 1.0
+        op.P4[:, :] = 0.0
+        op._sort()
+
+
+class HenyeyGreensteinDust(SphericalDust):
+    """Dust with Henyey-Greenstein scattering defined by per-frequency
+    asymmetry ``g`` and max linear polarization ``p_lin_max``."""
+
+    def __init__(self, nu, albedo, chi, g, p_lin_max):
+        SphericalDust.__init__(self)
+        op = self.optical_properties
+        n_mu = 100
+        op.mu = np.linspace(-1.0, 1.0, n_mu)
+        op.nu = np.asarray(nu, dtype=float)
+        op.albedo = np.asarray(albedo, dtype=float)
+        op.chi = np.asarray(chi, dtype=float)
+        op.initialize_scattering_matrix()
+        g = np.asarray(g, dtype=float)
+        p_lin_max = np.asarray(p_lin_max, dtype=float)
+        for i in range(n_mu):
+            op.P1[:, i], op.P2[:, i], op.P3[:, i], op.P4[:, i] = \
+                henyey_greenstein(op.mu[i], g, p_lin_max)
+        op._sort()
+
+
+class HOCHUNKDust(HenyeyGreensteinDust):
+    """HG dust read from a HOCHUNK-format text file."""
+
+    def __init__(self, filename):
+        dustfile = np.loadtxt(
+            filename, dtype=[('wav', float), ('c_ext', float), ('c_sca', float),
+                             ('chi', float), ('g', float), ('p_lin_max', float)],
+            usecols=[0, 1, 2, 3, 4, 5])
+        if dustfile['wav'][-1] > dustfile['wav'][0]:
+            dustfile = dustfile[::-1]
+        nu = c / dustfile['wav'] * 1.e4
+        albedo = dustfile['c_sca'] / dustfile['c_ext']
+        md5 = hashlib.md5(open(filename, 'rb').read()).hexdigest()
+        HenyeyGreensteinDust.__init__(self, nu, albedo, dustfile['chi'],
+                                      dustfile['g'], dustfile['p_lin_max'])
+        self.md5 = md5
+
+
+TTsreDust = HOCHUNKDust

@@ -1,0 +1,18 @@
+"""Test configuration: force JAX onto a virtual 8-device CPU mesh.
+
+Multi-chip sharding semantics are validated on one host via
+``xla_force_host_platform_device_count`` (the driver separately dry-runs the
+multi-chip path); x64 is enabled so CPU-side physics checks can run in double
+precision while TPU runs stay in f32.
+"""
+
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_enable_x64", True)
