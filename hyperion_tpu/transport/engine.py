@@ -1,0 +1,318 @@
+"""The fused Monte-Carlo transport kernel: one ``while_loop`` over the batch.
+
+TPU-native re-design of the reference's photon-at-a-time recursion
+(ref: src/main/iter_lucy.f90:122-210 + src/grid/grid_propagate_3d.f90:35-233
++ src/dust/dust_interact.f90:22-79): the whole batch advances in lockstep,
+one cell-event (wall crossing OR interaction OR emission refill) per lane per
+step. Dead lanes are refilled from the remaining photon budget *inside* the
+loop, which replaces the reference's MPI master-worker chunk scheduler
+(src/mpi/mpi_routines.f90:62-264) — lanes never idle while budget remains.
+
+Energy deposition is a masked scatter-add into the per-(dust, cell)
+specific-energy accumulator, replacing the serial `specific_energy_sum(...)
++=` updates.
+"""
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from .gtable import ESCAPED
+from .sampling import (isotropic_direction, random_exp, rotate_direction,
+                       sample_cdf_rows2, searchsorted_rows, interp_loglog)
+
+
+class PacketState(NamedTuple):
+    x: jnp.ndarray
+    y: jnp.ndarray
+    z: jnp.ndarray
+    kx: jnp.ndarray
+    ky: jnp.ndarray
+    kz: jnp.ndarray
+    nu: jnp.ndarray
+    energy: jnp.ndarray
+    cell: jnp.ndarray          # flat cell index, ESCAPED when outside
+    tau: jnp.ndarray           # optical depth remaining to next interaction
+    n_inter: jnp.ndarray       # interaction count
+    alive: jnp.ndarray         # bool
+    chi: jnp.ndarray           # (B, n_dust) cached extinction at nu
+    kappa: jnp.ndarray         # (B, n_dust) cached absorption at nu
+    albedo: jnp.ndarray        # (B, n_dust)
+
+
+class LucyCarry(NamedTuple):
+    packets: PacketState
+    key: jnp.ndarray
+    budget: jnp.ndarray        # photons still to emit (int64-ish)
+    energy_current: jnp.ndarray
+    energy_sum: jnp.ndarray    # (n_dust, n_cells) path-length deposits
+    n_photons_cell: jnp.ndarray  # (n_cells,) entry counts (diagnostic)
+    killed_int: jnp.ndarray
+    killed_geo: jnp.ndarray
+    n_steps: jnp.ndarray
+
+
+def update_optical_constants(dt, nu):
+    """Interpolate chi/kappa/albedo for every dust at each lane's frequency
+    (ref: update_optconsts caching in type_photon). Returns (B, n_dust)."""
+    chis, kappas, albedos = [], [], []
+    for d in range(dt.n_dust):
+        chis.append(interp_loglog(dt.nu[d], dt.chi[d], nu))
+        kappas.append(interp_loglog(dt.nu[d], dt.kappa[d], nu))
+        albedos.append(jnp.clip(
+            jnp.interp(jnp.log(nu), jnp.log(dt.nu[d]), dt.albedo[d]), 0.0, 1.0))
+    return (jnp.stack(chis, axis=-1), jnp.stack(kappas, axis=-1),
+            jnp.stack(albedos, axis=-1))
+
+
+def sample_emission_nu(dt, dust_id, var_id, var_frac, key, use_bnu=False):
+    """Sample a re-emission frequency from the emissivity CDFs, interpolating
+    in log nu between the two bracketing specific-energy bins with a shared
+    uniform draw (ref: dust_sample_j_nu, dust_type_4elem.f90:380-420)."""
+    n_var = dt.n_var
+    xi = jax.random.uniform(key, dust_id.shape, dtype=dt.emiss_nu.dtype)
+    cdf = dt.bnu_cdf if use_bnu else dt.jnu_cdf
+    rows1 = dust_id * n_var + var_id
+    rows2 = dust_id * n_var + jnp.minimum(var_id + 1, n_var - 1)
+    nu1 = sample_cdf_rows2(dt.emiss_nu, cdf, rows1, xi, log_interp=True,
+                           rows_x=dust_id)
+    nu2 = sample_cdf_rows2(dt.emiss_nu, cdf, rows2, xi, log_interp=True,
+                           rows_x=dust_id)
+    return nu1 * (nu2 / nu1) ** var_frac
+
+
+def sample_scattering_mu(dt, dust_id, nu, key):
+    """Sample cos(scattering angle) from the P1 CDF at the lane's frequency
+    bin (ref: dust_scatter, dust_type_4elem.f90:504-545 — nearest nu bin,
+    matching the reference's behaviour)."""
+    n_nu = dt.nu.shape[1]
+    inu = searchsorted_rows(dt.nu, dust_id, nu) - 1
+    inu = jnp.clip(inu, 0, n_nu - 1)
+    rows = dust_id * n_nu + inu
+    xi = jax.random.uniform(key, dust_id.shape, dtype=nu.dtype)
+    return sample_cdf_rows2(dt.mu, dt.P1_cdf, rows, xi, rows_x=dust_id)
+
+
+def select_dust(key, chi, density_rows):
+    """Pick the interacting dust population with probability ∝ chi_d * rho_d
+    (ref: select_dust_chi_rho, grid_physics_3d.f90:87-109)."""
+    w = chi * density_rows  # (B, n_dust)
+    total = jnp.sum(w, axis=-1)
+    u = jax.random.uniform(key, total.shape, dtype=chi.dtype) * total
+    csum = jnp.cumsum(w, axis=-1)
+    sel = jnp.sum((csum < u[:, None]).astype(jnp.int32), axis=-1)
+    return jnp.clip(sel, 0, w.shape[-1] - 1)
+
+
+def make_lucy_step(geometry, dt, st, density, jnu_var_id, jnu_var_frac,
+                   config):
+    """Build the while_loop body for one Lucy iteration.
+
+    density: (n_dust, n_cells); jnu_var_id/frac: (n_dust, n_cells) emissivity
+    locator from the previous iteration's specific energy
+    (ref: precompute_jnu_var, grid_physics_3d.f90:613-635).
+    """
+    n_dust = dt.n_dust
+    dtype = density.dtype
+    n_cells = density.shape[1]
+
+    from .stable import emit_packets
+
+    def refill(carry):
+        """Re-emit packets into dead lanes while budget remains
+        (replaces mp_n_photons chunk scheduling)."""
+        p = carry.packets
+        key, k_e, k_tau = jax.random.split(carry.key, 3)
+        dead = ~p.alive
+        rank = jnp.cumsum(dead.astype(carry.budget.dtype))
+        can = dead & (rank <= carry.budget)
+        n_new = jnp.sum(can.astype(carry.budget.dtype))
+
+        new = emit_packets(st, k_e, p.x.shape[0], dtype)
+        cell_new = geometry.find_cell(new['x'], new['y'], new['z'],
+                                      new['kx'], new['ky'], new['kz'])
+        chi_n, kappa_n, alb_n = update_optical_constants(dt, new['nu'])
+        tau_new = random_exp(k_tau, p.tau.shape, dtype)
+
+        def m(old, new_):
+            return jnp.where(can, new_, old) if old.ndim == 1 else \
+                jnp.where(can[:, None], new_, old)
+
+        packets = PacketState(
+            x=m(p.x, new['x']), y=m(p.y, new['y']), z=m(p.z, new['z']),
+            kx=m(p.kx, new['kx']), ky=m(p.ky, new['ky']), kz=m(p.kz, new['kz']),
+            nu=m(p.nu, new['nu']),
+            energy=jnp.where(can, jnp.asarray(1.0, dtype), p.energy),
+            cell=jnp.where(can, cell_new, p.cell),
+            tau=m(p.tau, tau_new),
+            n_inter=jnp.where(can, 0, p.n_inter),
+            alive=p.alive | (can & (cell_new != ESCAPED)),
+            chi=m(p.chi, chi_n), kappa=m(p.kappa, kappa_n),
+            albedo=m(p.albedo, alb_n),
+        )
+        # Photons emitted outside the grid simply escape (the reference
+        # errors out; the model layer validates sources are inside the grid)
+        n_photons_cell = carry.n_photons_cell.at[
+            jnp.where(can & (cell_new != ESCAPED), cell_new, n_cells)
+        ].add(1, mode='drop')
+        return carry._replace(
+            packets=packets, key=key, budget=carry.budget - n_new,
+            energy_current=carry.energy_current + n_new.astype(dtype),
+            n_photons_cell=n_photons_cell)
+
+    def step(carry):
+        carry = refill(carry)
+        p = carry.packets
+        key, k_check, k_dust, k_coin, k_nu, k_dir, k_mu, k_phi, k_tau = \
+            jax.random.split(carry.key, 9)
+
+        active = p.alive
+        cell_safe = jnp.where(p.cell >= 0, p.cell, 0)
+
+        # --- distance to next wall ---
+        t_wall, next_cell, ax, wall_coord = geometry.find_wall(
+            cell_safe, p.x, p.y, p.z, p.kx, p.ky, p.kz)
+
+        # --- optical depth through the cell ---
+        rho_rows = density[:, cell_safe].T            # (B, n_dust)
+        chi_rho = jnp.sum(p.chi * rho_rows, axis=-1)  # (B,)
+        tau_wall = chi_rho * t_wall
+        hits_wall = (tau_wall < p.tau) | (chi_rho <= 0.0)
+        t_int = jnp.where(chi_rho > 0.0, p.tau / jnp.maximum(chi_rho, 1e-300),
+                          t_wall)
+        d_move = jnp.where(hits_wall, t_wall, t_int)
+
+        # --- deposit energy: specific_energy_sum += ds * kappa_d * E
+        # (ref: grid_propagate_3d.f90:153-154, 205-206) ---
+        energy_sum = carry.energy_sum
+        dep_idx = jnp.where(active, cell_safe, n_cells)
+        for d in range(n_dust):
+            dep = jnp.where(active & (rho_rows[:, d] > 0.0),
+                            d_move * p.kappa[:, d] * p.energy, 0.0)
+            energy_sum = energy_sum.at[d, dep_idx].add(dep, mode='drop')
+
+        # --- move ---
+        x = p.x + d_move * p.kx
+        y = p.y + d_move * p.ky
+        z = p.z + d_move * p.kz
+        x, y, z = geometry.snap(x, y, z, ax, wall_coord, active & hits_wall)
+        tau = jnp.where(hits_wall, p.tau - tau_wall, jnp.zeros_like(p.tau))
+
+        # --- wall crossing ---
+        cell = jnp.where(active & hits_wall, next_cell, p.cell)
+        escaped = active & hits_wall & (cell == ESCAPED)
+        n_photons_cell = carry.n_photons_cell.at[
+            jnp.where(active & hits_wall & (cell != ESCAPED), cell, n_cells)
+        ].add(1, mode='drop')
+
+        # --- interaction (absorb+re-emit or scatter) ---
+        interacting = active & ~hits_wall
+        d_sel = select_dust(k_dust, p.chi, rho_rows)
+        alb = jnp.take_along_axis(p.albedo, d_sel[:, None], axis=-1)[:, 0]
+        coin = jax.random.uniform(k_coin, alb.shape, dtype=dtype)
+        scatter = coin <= alb
+
+        # absorption -> re-emission with frequency from local emissivity
+        var_id = jnu_var_id[d_sel, cell_safe]
+        var_frac = jnu_var_frac[d_sel, cell_safe]
+        nu_em = sample_emission_nu(dt, d_sel, var_id, var_frac, k_nu)
+        ex, ey, ez = isotropic_direction(k_dir, p.nu.shape, dtype)
+
+        # scattering -> deflect by sampled mu
+        mu_s = sample_scattering_mu(dt, d_sel, p.nu, k_mu)
+        phi_s = jax.random.uniform(k_phi, p.nu.shape, dtype=dtype,
+                                   maxval=2 * jnp.pi)
+        sx, sy, sz = rotate_direction(p.kx, p.ky, p.kz, mu_s, phi_s)
+
+        absorbed = interacting & ~scatter
+        scattered = interacting & scatter
+        nu = jnp.where(absorbed, nu_em, p.nu)
+        kx = jnp.where(absorbed, ex, jnp.where(scattered, sx, p.kx))
+        ky = jnp.where(absorbed, ey, jnp.where(scattered, sy, p.ky))
+        kz = jnp.where(absorbed, ez, jnp.where(scattered, sz, p.kz))
+
+        # refresh cached opacities where the frequency changed
+        chi_n, kappa_n, alb_n = update_optical_constants(dt, nu)
+        chi = jnp.where(absorbed[:, None], chi_n, p.chi)
+        kappa = jnp.where(absorbed[:, None], kappa_n, p.kappa)
+        albedo = jnp.where(absorbed[:, None], alb_n, p.albedo)
+
+        # new optical depth for lanes that interacted
+        tau = jnp.where(interacting, random_exp(k_tau, tau.shape, dtype), tau)
+        n_inter = p.n_inter + interacting.astype(jnp.int32)
+
+        killed_now = interacting & (n_inter > config['n_inter_max'])
+        kill_flag = (config['kill_on_scatter'] & scattered) | \
+                    (config['kill_on_absorb'] & absorbed)
+        killed_now = killed_now | (interacting & kill_flag)
+
+        alive = active & ~escaped & ~killed_now
+
+        packets = PacketState(x=x, y=y, z=z, kx=kx, ky=ky, kz=kz, nu=nu,
+                              energy=p.energy, cell=cell, tau=tau,
+                              n_inter=n_inter, alive=alive, chi=chi,
+                              kappa=kappa, albedo=albedo)
+        return LucyCarry(
+            packets=packets, key=key, budget=carry.budget,
+            energy_current=carry.energy_current, energy_sum=energy_sum,
+            n_photons_cell=n_photons_cell,
+            killed_int=carry.killed_int + jnp.sum(killed_now.astype(carry.killed_int.dtype)),
+            killed_geo=carry.killed_geo,
+            n_steps=carry.n_steps + 1)
+
+    return step
+
+
+@partial(jax.jit, static_argnames=('batch_size', 'config_tuple'))
+def run_lucy_iteration(geometry, dt, st, density, jnu_var_id, jnu_var_frac,
+                       key, n_photons, batch_size, config_tuple):
+    """Run one Lucy specific-energy iteration on device.
+
+    Returns (energy_sum (n_dust, n_cells), energy_current, n_photons_cell,
+    killed_int, killed_geo, n_steps).
+    """
+    config = dict(config_tuple)
+    n_dust = dt.n_dust
+    n_cells = density.shape[1]
+    dtype = density.dtype
+    B = batch_size
+    # Counter dtype: int64 when x64 is enabled (CPU tests), else int32 (TPU).
+    itype = jnp.int64 if jax.config.jax_enable_x64 else jnp.int32
+
+    zeros = lambda *s: jnp.zeros(s, dtype=dtype)
+    packets = PacketState(
+        x=zeros(B), y=zeros(B), z=zeros(B),
+        kx=zeros(B), ky=zeros(B), kz=jnp.ones((B,), dtype=dtype),
+        nu=jnp.ones((B,), dtype=dtype), energy=zeros(B),
+        cell=jnp.zeros((B,), dtype=jnp.int32),
+        tau=zeros(B), n_inter=jnp.zeros((B,), dtype=jnp.int32),
+        alive=jnp.zeros((B,), dtype=bool),
+        chi=zeros(B, n_dust), kappa=zeros(B, n_dust),
+        albedo=zeros(B, n_dust))
+
+    carry = LucyCarry(
+        packets=packets, key=key,
+        budget=jnp.asarray(n_photons, dtype=itype),
+        energy_current=jnp.asarray(0.0, dtype=dtype),
+        energy_sum=jnp.zeros((n_dust, n_cells), dtype=dtype),
+        n_photons_cell=jnp.zeros((n_cells,), dtype=itype),
+        killed_int=jnp.asarray(0, dtype=itype),
+        killed_geo=jnp.asarray(0, dtype=itype),
+        n_steps=jnp.asarray(0, dtype=itype))
+
+    step = make_lucy_step(geometry, dt, st, density, jnu_var_id, jnu_var_frac,
+                          config)
+
+    max_steps = config['max_steps']
+
+    def cond(carry):
+        return ((carry.budget > 0) | jnp.any(carry.packets.alive)) & \
+               (carry.n_steps < max_steps)
+
+    carry = jax.lax.while_loop(cond, step, carry)
+    # Lanes still alive at max_steps are killed (bounded-step safety net)
+    killed_int = carry.killed_int + jnp.sum(carry.packets.alive.astype(carry.killed_int.dtype))
+    return (carry.energy_sum, carry.energy_current, carry.n_photons_cell,
+            killed_int, carry.killed_geo, carry.n_steps)

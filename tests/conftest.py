@@ -15,4 +15,14 @@ if "xla_force_host_platform_device_count" not in flags:
 
 import jax  # noqa: E402
 
+# NOTE: the JAX_PLATFORMS env var is ignored in this environment (the 'axon'
+# TPU-tunnel plugin still becomes the default backend, making every op compile
+# take seconds over the tunnel); the config update below is what actually
+# forces the host CPU backend.
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
+
+# XLA:CPU compiles the fused transport loop slowly (~1 min); cache compiled
+# executables across test runs.
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
