@@ -8,3 +8,12 @@ device meshes.
 """
 
 __version__ = "0.1.0"
+
+
+def __getattr__(name):
+    # Lazy imports keep `import hyperion_tpu` light; the model layer pulls in
+    # h5py/jax only when used.
+    if name in ("Model", "ModelOutput"):
+        from . import model
+        return getattr(model, name)
+    raise AttributeError(name)

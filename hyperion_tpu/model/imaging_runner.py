@@ -1,0 +1,119 @@
+"""Run the imaging iteration for a model and write /Peeled groups into the
+.rtout file with the reference layout (ref: image_write,
+src/images/image_type.f90:608-788): datasets 'seds' (n_stokes, n_orig,
+n_view, n_ap, n_nu) and 'images' (n_stokes, n_orig, n_view, n_y, n_x, n_nu),
+nu*Fnu normalization via dnunorm, cumulative apertures, and sqrt(sum x^2)
+uncertainty channels."""
+
+import numpy as np
+
+
+def run_imaging(model, out, geometry, dt, st, density, specific_energy,
+                batch_size, dtype):
+    import jax
+    import jax.numpy as jnp
+    from ..transport.imaging import build_peel_group, run_final
+
+    if model.binned_output is not None:
+        raise NotImplementedError("Binned images are not yet supported by "
+                                  "the transport engine")
+    if not model.peeled_output:
+        return
+    if model._monochromatic:
+        raise NotImplementedError("Monochromatic imaging is not yet supported")
+    if model.raytracing:
+        raise NotImplementedError("Raytracing is not yet supported")
+
+    n_phot = model.n_photons.get('last')
+    if n_phot is None:
+        raise Exception("imaging photon count has not been set "
+                        "(set_n_photons(imaging=...))")
+
+    groups = [build_peel_group(conf, dtype=dtype)
+              for conf in model.peeled_output]
+
+    key = jax.random.PRNGKey((abs(model._seed) + 1) % (2 ** 31))
+    se = None
+    if specific_energy is not None:
+        se = jnp.asarray(specific_energy, dtype=dtype)
+
+    accums, energy_current, stats = run_final(
+        geometry, dt, st, density, se, groups, key, n_phot,
+        batch_size=batch_size,
+        n_inter_max=model.n_inter_max,
+        kill_on_scatter=model.kill_on_scatter,
+        kill_on_absorb=model.kill_on_absorb,
+        forced_first_interaction=model.forced_first_interaction)
+
+    scale = float(st.energy_total) / max(energy_current, 1e-300)
+
+    g_peeled = out.create_group('Peeled')
+    for i, (conf, group, acc) in enumerate(zip(model.peeled_output, groups,
+                                               accums)):
+        g = g_peeled.create_group('group_%05i' % (i + 1))
+        write_peel_group(g, conf, group, acc, scale)
+
+    out.attrs['killed_photons_int_final'] = stats['killed_int']
+    out.attrs['killed_photons_geo_final'] = 0
+
+
+def write_peel_group(g, conf, group, acc, scale):
+    """Normalize accumulators and write one peeled group."""
+    from ..util.functions import bool2str
+
+    n_nu = group.n_nu
+    nu_min = 10.0 ** float(group.log10_nu_min)
+    nu_max = 10.0 ** float(group.log10_nu_max)
+    # F_nu*dnu -> nu*F_nu conversion factor (ref image_type.f90:624-658)
+    dnunorm = (nu_max / nu_min) ** (+0.5 / n_nu) - \
+              (nu_max / nu_min) ** (-0.5 / n_nu)
+
+    g.attrs['inside_observer'] = bool2str(False)
+    g.attrs['d_min'] = -np.inf if conf.d_min is None else conf.d_min
+    g.attrs['d_max'] = +np.inf if conf.d_max is None else conf.d_max
+
+    io_dtype = np.float32 if conf.io_bytes == 4 else np.float64
+
+    if group.compute_sed:
+        # acc.sed: (n_view, n_ap, n_nu, n_orig) ->
+        # on disk: (n_stokes, n_orig, n_view, n_ap, n_nu)
+        sed = np.asarray(acc.sed, dtype=np.float64) * scale / dnunorm
+        sed = sed.transpose(3, 0, 1, 2)[None, ...]
+        sed = np.cumsum(sed, axis=3)  # cumulative apertures
+        dset = g.create_dataset('seds', data=sed.astype(io_dtype),
+                                compression='gzip')
+        dset.attrs['numin'] = nu_min
+        dset.attrs['numax'] = nu_max
+        dset.attrs['apmin'] = conf.ap_min
+        dset.attrs['apmax'] = conf.ap_max
+        dset.attrs['track_origin'] = np.bytes_(group.track_origin)
+        if group.uncertainties:
+            unc = np.sqrt(np.asarray(acc.sed2, dtype=np.float64)) * scale / dnunorm
+            unc = unc.transpose(3, 0, 1, 2)[None, ...]
+            unc = np.sqrt(np.cumsum(unc ** 2, axis=3))
+            d2 = g.create_dataset('seds_unc', data=unc.astype(io_dtype),
+                                  compression='gzip')
+            d2.attrs['numin'] = nu_min
+            d2.attrs['numax'] = nu_max
+
+    if group.compute_image:
+        # acc.img: (n_view, n_y, n_x, n_nu, n_orig) ->
+        # on disk: (n_stokes, n_orig, n_view, n_y, n_x, n_nu)
+        img = np.asarray(acc.img, dtype=np.float64) * scale / dnunorm
+        img = img.transpose(4, 0, 1, 2, 3)[None, ...]
+        dset = g.create_dataset('images', data=img.astype(io_dtype),
+                                compression='gzip')
+        dset.attrs['numin'] = nu_min
+        dset.attrs['numax'] = nu_max
+        dset.attrs['xmin'] = conf.xmin
+        dset.attrs['xmax'] = conf.xmax
+        dset.attrs['ymin'] = conf.ymin
+        dset.attrs['ymax'] = conf.ymax
+        dset.attrs['track_origin'] = np.bytes_(group.track_origin)
+        if group.uncertainties:
+            unc = np.sqrt(np.asarray(acc.img2, dtype=np.float64)) * scale / dnunorm
+            unc = unc.transpose(4, 0, 1, 2, 3)[None, ...]
+            d2 = g.create_dataset('images_unc', data=unc.astype(io_dtype),
+                                  compression='gzip')
+            d2.attrs['numin'] = nu_min
+            d2.attrs['numax'] = nu_max

@@ -1,0 +1,177 @@
+"""Native engine execution of a Model: the replacement for the reference's
+``hyperion`` launcher + Fortran main program (ref: src/main/main.f90:99-356).
+
+Builds device tables from the assembled model, runs the Lucy temperature
+loop (and later: imaging / raytracing / monochromatic iterations), and
+writes a reference-layout .rtout file (iteration_%05d grid groups, root
+attributes, embedded /Input copy)."""
+
+import datetime
+import time
+
+import numpy as np
+
+
+def _engine_dtype(dtype):
+    import jax
+    import jax.numpy as jnp
+    if dtype is not None:
+        return dtype
+    # f64 when x64 is enabled (CPU validation runs), else f32 (TPU)
+    return jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
+
+
+def build_geometry_tables(grid, dtype):
+    from ..grid import CartesianGrid, SphericalPolarGrid, CylindricalPolarGrid
+    from ..transport.gtable import build_cartesian_geometry
+    if isinstance(grid, CartesianGrid):
+        return build_cartesian_geometry(grid, dtype=dtype)
+    elif isinstance(grid, SphericalPolarGrid):
+        from ..transport.gtable_spherical import build_spherical_geometry
+        return build_spherical_geometry(grid, dtype=dtype)
+    elif isinstance(grid, CylindricalPolarGrid):
+        from ..transport.gtable_cylindrical import build_cylindrical_geometry
+        return build_cylindrical_geometry(grid, dtype=dtype)
+    raise NotImplementedError("Geometry not yet supported by the transport "
+                              "engine: %s" % type(grid))
+
+
+def _density_array(model, dtype):
+    """Flatten the grid's per-dust density lists to (n_dust, n_cells)."""
+    import jax.numpy as jnp
+    density = model.grid.quantities['density']
+    arr = np.array([np.asarray(d, float).reshape(-1) for d in density])
+    return jnp.asarray(arr, dtype=dtype)
+
+
+def _initial_specific_energy(model, n_dust, n_cells, dtype):
+    import jax.numpy as jnp
+    if 'specific_energy' in model.grid:
+        se = model.grid.quantities['specific_energy']
+        arr = np.array([np.asarray(s, float).reshape(-1) for s in se])
+        return jnp.asarray(arr, dtype=dtype)
+    return None
+
+
+def run_model(model, filename, batch_size=None, dtype=None, parallel=False):
+    """Execute the model and write the .rtout file."""
+    import h5py
+    import jax
+    import jax.numpy as jnp
+    from ..transport import (build_dust_tables, build_source_tables, run_lucy)
+    from ..transport.lucy import specific_energy_to_temperature
+
+    t_start = time.time()
+    dtype = _engine_dtype(dtype)
+
+    dusts = model._dust_objects()
+    if not dusts:
+        raise Exception("Cannot run a model with no dust or density "
+                        "(pure-source models are not yet supported)")
+
+    geometry = build_geometry_tables(model.grid, dtype)
+    dt = build_dust_tables(dusts, dtype=dtype)
+    st = build_source_tables(model.sources, dtype=dtype)
+    density = _density_array(model, dtype)
+    n_cells = density.shape[1]
+
+    if batch_size is None:
+        # Heuristic: large enough to fill the VPU, bounded by photon count
+        n_init = model.n_photons.get('initial', 100000)
+        batch_size = int(min(2 ** 17, max(4096, n_init // 4)))
+
+    min_se = model._resolved_minimum_specific_energy(dusts)
+    init_se = _initial_specific_energy(model, dt.n_dust, n_cells, dtype)
+
+    seed = model._seed
+    key = jax.random.PRNGKey(abs(seed) % (2 ** 31))
+
+    iterations = []
+
+    def callback(it, se, rho, n_photons_cell):
+        iterations.append(dict(specific_energy=se.copy(), density=rho.copy(),
+                               n_photons=n_photons_cell.copy()))
+
+    n_initial = model.n_photons.get('initial', 0)
+    result = None
+    if model.n_iterations > 0 and n_initial > 0:
+        result = run_lucy(
+            geometry, dt, st, density, key,
+            n_photons=n_initial,
+            n_iterations=model.n_iterations,
+            batch_size=batch_size,
+            n_inter_max=model.n_inter_max,
+            kill_on_scatter=model.kill_on_scatter,
+            kill_on_absorb=model.kill_on_absorb,
+            minimum_specific_energy=min_se,
+            check_convergence=model.check_convergence,
+            convergence_absolute=getattr(model, 'convergence_absolute', 0.0),
+            convergence_relative=getattr(model, 'convergence_relative', 1.02),
+            convergence_percentile=getattr(model, 'convergence_percentile', 100.0),
+            initial_specific_energy=init_se,
+            verbose=True, iteration_callback=callback)
+
+    # ---- write output -------------------------------------------------------
+    out = h5py.File(filename, 'w')
+    out.attrs['python_version'] = np.bytes_("hyperion_tpu")
+    out.attrs['date_started'] = np.bytes_(
+        datetime.datetime.now().isoformat())
+
+    shape = model.grid.shape
+    n_iter_done = len(iterations)
+    oc = model.conf.output
+
+    for i, itdata in enumerate(iterations):
+        g = out.create_group('iteration_%05i' % (i + 1))
+        last = (i == n_iter_done - 1)
+
+        def want(setting):
+            return setting == 'all' or (setting == 'last' and last)
+
+        if want(oc.output_specific_energy):
+            g.create_dataset('specific_energy',
+                             data=itdata['specific_energy'].reshape((-1,) + shape),
+                             compression='gzip')
+        if want(oc.output_density):
+            g.create_dataset('density',
+                             data=itdata['density'].reshape((-1,) + shape),
+                             compression='gzip')
+        if want(oc.output_n_photons):
+            g.create_dataset('n_photons',
+                             data=itdata['n_photons'].reshape(shape),
+                             compression='gzip')
+        if result is not None:
+            g.attrs['killed_photons_geo'] = result.killed_geo
+            g.attrs['killed_photons_int'] = result.killed_int
+
+    if result is not None:
+        out.attrs['converged'] = bool2bytes(result.converged)
+        out.attrs['iterations'] = result.iterations
+        out.attrs['killed_photons_geo_initial'] = result.killed_geo
+        out.attrs['killed_photons_int_initial'] = result.killed_int
+    else:
+        out.attrs['converged'] = bool2bytes(False)
+        out.attrs['iterations'] = 0
+
+    # Imaging iterations are produced by the imaging module (peeloff);
+    # when configured but not yet supported we raise rather than silently
+    # writing an output missing images.
+    if model.peeled_output or model.binned_output is not None:
+        from .imaging_runner import run_imaging
+        run_imaging(model, out, geometry, dt, st, density,
+                    iterations[-1]['specific_energy'] if iterations else None,
+                    batch_size, dtype)
+
+    out.attrs['cpu_time'] = time.time() - t_start
+    out.attrs['date_ended'] = np.bytes_(datetime.datetime.now().isoformat())
+
+    # Embed the input for self-contained outputs (ref main.f90:135-151)
+    if model.copy_input and model.filename is not None:
+        with h5py.File(model.filename, 'r') as fin:
+            fin.copy('/', out, name='Input')
+
+    out.close()
+
+
+def bool2bytes(value):
+    return np.bytes_(b'yes') if value else np.bytes_(b'no')

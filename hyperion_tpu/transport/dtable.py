@@ -40,6 +40,9 @@ class DustTables(NamedTuple):
     # Scattering: mu grid (n_dust, n_mu); CDF (n_dust * n_nu, n_mu)
     mu: jnp.ndarray
     P1_cdf: jnp.ndarray
+    # Phase function normalized so (1/4pi) * integral over solid angle == 1
+    # (used for peeloff probabilities): (n_dust * n_nu, n_mu)
+    P1_peel: jnp.ndarray
     # Mean opacities vs specific energy: (n_dust, n_e)
     me_specific_energy: jnp.ndarray
     me_temperature: jnp.ndarray
@@ -140,6 +143,7 @@ def build_dust_tables(dusts, dtype=jnp.float32):
     bnu_cdf = np.zeros((n_dust, n_var, n_enu))
     mu = np.zeros((n_dust, n_mu))
     P1_cdf = np.zeros((n_dust, n_nu, n_mu))
+    P1_peel = np.zeros((n_dust, n_nu, n_mu))
     me = {k: np.zeros((n_dust, n_e)) for k in
           ('specific_energy', 'temperature', 'chi_planck', 'kappa_planck',
            'chi_inv_planck', 'kappa_inv_planck', 'chi_rosseland',
@@ -186,11 +190,16 @@ def build_dust_tables(dusts, dtype=jnp.float32):
         # does, then build the mu-CDF of P1 at each frequency row.
         P1 = np.asarray(op.P1, float)
         c = _cdf_linear(mu_d, P1)
-        P1_cdf[i, :c.shape[0], :c.shape[1]] = c
-        if c.shape[0] < n_nu:
-            P1_cdf[i, c.shape[0]:] = c[-1]
-        if c.shape[1] < n_mu:
-            P1_cdf[i, :, c.shape[1]:] = 1.0
+        P1_cdf[i] = np.pad(c, ((0, n_nu - c.shape[0]), (0, n_mu - c.shape[1])),
+                           mode='edge')
+        # Peel weight: P1 normalized so its solid-angle average is 1
+        # (isotropic events peel with weight exactly 1, so a scattering
+        # event's weight is the phase function in units of 1/4pi)
+        norm = 0.5 * np.trapezoid(P1, mu_d, axis=1)  # (n_nu_d,)
+        with np.errstate(divide='ignore', invalid='ignore'):
+            pp = np.where(norm[:, None] > 0, P1 / norm[:, None], 1.0)
+        P1_peel[i] = np.pad(pp, ((0, n_nu - pp.shape[0]),
+                                 (0, n_mu - pp.shape[1])), mode='edge')
 
         mo = d.mean_opacities
         for k in me:
@@ -207,6 +216,7 @@ def build_dust_tables(dusts, dtype=jnp.float32):
         jnu_cdf=f(jnu_cdf.reshape(n_dust * n_var, n_enu)),
         bnu_cdf=f(bnu_cdf.reshape(n_dust * n_var, n_enu)),
         mu=f(mu), P1_cdf=f(P1_cdf.reshape(n_dust * n_nu, n_mu)),
+        P1_peel=f(P1_peel.reshape(n_dust * n_nu, n_mu)),
         me_specific_energy=f(me['specific_energy']),
         me_temperature=f(me['temperature']),
         me_chi_planck=f(me['chi_planck']),

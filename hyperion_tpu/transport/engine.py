@@ -265,10 +265,10 @@ def make_lucy_step(geometry, dt, st, density, jnu_var_id, jnu_var_frac,
     return step
 
 
-@partial(jax.jit, static_argnames=('batch_size', 'config_tuple'))
-def run_lucy_iteration(geometry, dt, st, density, jnu_var_id, jnu_var_frac,
-                       key, n_photons, batch_size, config_tuple):
-    """Run one Lucy specific-energy iteration on device.
+def lucy_iteration_impl(geometry, dt, st, density, jnu_var_id, jnu_var_frac,
+                        key, n_photons, batch_size, config_tuple):
+    """Un-jitted single-device Lucy iteration body (also the per-device
+    function under shard_map for multi-chip runs).
 
     Returns (energy_sum (n_dust, n_cells), energy_current, n_photons_cell,
     killed_int, killed_geo, n_steps).
@@ -316,3 +316,8 @@ def run_lucy_iteration(geometry, dt, st, density, jnu_var_id, jnu_var_frac,
     killed_int = carry.killed_int + jnp.sum(carry.packets.alive.astype(carry.killed_int.dtype))
     return (carry.energy_sum, carry.energy_current, carry.n_photons_cell,
             killed_int, carry.killed_geo, carry.n_steps)
+
+
+run_lucy_iteration = partial(jax.jit,
+                             static_argnames=('batch_size', 'config_tuple'))(
+    lucy_iteration_impl)

@@ -36,10 +36,14 @@ class CartesianGeometry:
     xw: jnp.ndarray
     yw: jnp.ndarray
     zw: jnp.ndarray
-    volumes: jnp.ndarray  # (n_cells,)
+    # Cell volumes normalized by volume_scale: astrophysical cgs volumes
+    # (~1e38 cm^3) overflow/underflow f32 reciprocals on TPU, so the device
+    # array holds O(1) values and the true scale stays in host float64.
+    volumes: jnp.ndarray  # (n_cells,), = volumes_cgs / volume_scale
     n1: int = field(metadata=dict(static=True))
     n2: int = field(metadata=dict(static=True))
     n3: int = field(metadata=dict(static=True))
+    volume_scale: float = field(metadata=dict(static=True))
 
     @property
     def n_cells(self):
@@ -122,10 +126,13 @@ def build_cartesian_geometry(grid, dtype=jnp.float32):
     xw = np.asarray(grid.x_wall, float)
     yw = np.asarray(grid.y_wall, float)
     zw = np.asarray(grid.z_wall, float)
+    volumes = grid.volumes.reshape(-1)
+    volume_scale = float(volumes.max())
     return CartesianGeometry(
         xw=jnp.asarray(xw, dtype=dtype),
         yw=jnp.asarray(yw, dtype=dtype),
         zw=jnp.asarray(zw, dtype=dtype),
-        volumes=jnp.asarray(grid.volumes.reshape(-1), dtype=dtype),
+        volumes=jnp.asarray(volumes / volume_scale, dtype=dtype),
         n1=len(xw) - 1, n2=len(yw) - 1, n3=len(zw) - 1,
+        volume_scale=volume_scale,
     )

@@ -1,0 +1,561 @@
+"""Peeloff imaging engine: the final (imaging) Monte-Carlo iteration.
+
+TPU-native re-design of the reference's imaging iteration + peeloff
+(ref: src/main/iter_final.f90:60-275, src/images/images_peeled.f90:95-270,
+src/images/image_type.f90:408-530): a batch while_loop like the Lucy engine
+but with no energy deposition; at every emission and interaction event each
+configured viewing direction runs a *batched escape-tau walk* (an inner
+while_loop over the whole lane batch) and the attenuated weights scatter-add
+into (view, aperture/pixel, frequency, origin) flux cubes with sum-of-squares
+uncertainty channels.
+
+Forced first interaction (WR99) folds into the emission refill: the escape
+optical depth along the emission ray reweights the packet and the first
+interaction depth is drawn from the truncated exponential
+(ref: src/main/forced_interaction.f90:23-57).
+"""
+
+from dataclasses import dataclass, field
+from functools import partial
+from typing import NamedTuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.tree_util import register_dataclass
+
+from .gtable import ESCAPED
+from .engine import update_optical_constants, sample_emission_nu, \
+    sample_scattering_mu, select_dust
+from .sampling import (isotropic_direction, random_exp, rotate_direction,
+                       searchsorted_rows)
+
+ORIG_SOURCE_EMIT = 0
+ORIG_DUST_EMIT = 1
+ORIG_SOURCE_SCAT = 2
+ORIG_DUST_SCAT = 3
+
+
+@register_dataclass
+@dataclass(frozen=True)
+class PeelGroup:
+    # Observer directions (photon travel direction toward observer)
+    view_dir: jnp.ndarray      # (n_view, 3)
+    east: jnp.ndarray          # (n_view, 3) image +x axis
+    north: jnp.ndarray         # (n_view, 3) image +y axis
+    origin: jnp.ndarray        # (3,) peeloff origin
+    xmin: jnp.ndarray
+    xmax: jnp.ndarray
+    ymin: jnp.ndarray
+    ymax: jnp.ndarray
+    log10_nu_min: jnp.ndarray
+    log10_nu_max: jnp.ndarray
+    log10_ap_min: jnp.ndarray
+    log10_ap_max: jnp.ndarray
+    n_view: int = field(metadata=dict(static=True))
+    n_x: int = field(metadata=dict(static=True))
+    n_y: int = field(metadata=dict(static=True))
+    n_nu: int = field(metadata=dict(static=True))
+    n_ap: int = field(metadata=dict(static=True))
+    n_orig: int = field(metadata=dict(static=True))
+    compute_image: bool = field(metadata=dict(static=True))
+    compute_sed: bool = field(metadata=dict(static=True))
+    uncertainties: bool = field(metadata=dict(static=True))
+    track_origin: str = field(metadata=dict(static=True))
+
+
+def build_peel_group(conf, dtype=jnp.float32):
+    """Build a PeelGroup from a PeeledImageConf (external observers)."""
+    from ..util.constants import c
+    if conf.inside_observer is not None:
+        raise NotImplementedError("Inside observers not yet supported")
+    theta = np.radians([a[0] for a in conf.viewing_angles])
+    phi = np.radians([a[1] for a in conf.viewing_angles])
+    st, ct = np.sin(theta), np.cos(theta)
+    sp, cp = np.sin(phi), np.cos(phi)
+    view = np.stack([st * cp, st * sp, ct], axis=1)
+    east = np.stack([-sp, cp, np.zeros_like(sp)], axis=1)
+    north = np.stack([-ct * cp, -ct * sp, st], axis=1)
+    origin = np.asarray(conf.peeloff_origin or (0.0, 0.0, 0.0), float)
+
+    if conf._monochromatic:
+        raise NotImplementedError("Monochromatic peeloff is handled by the "
+                                  "monochromatic iteration")
+    nu_min = c / (conf.wav_max * 1.e-4)
+    nu_max = c / (conf.wav_min * 1.e-4)
+
+    if conf.sed:
+        ap_min, ap_max = conf.ap_min, conf.ap_max
+        n_ap = conf.n_ap
+    else:
+        ap_min = ap_max = np.inf
+        n_ap = 1
+
+    track = conf.track_origin
+    if track not in ('no', 'basic'):
+        raise NotImplementedError("track_origin='%s' not yet supported" % track)
+    n_orig = 4 if track == 'basic' else 1
+
+    f = lambda v: jnp.asarray(v, dtype=dtype)
+    return PeelGroup(
+        view_dir=f(view), east=f(east), north=f(north), origin=f(origin),
+        xmin=f(conf.xmin if conf.image else 0.0),
+        xmax=f(conf.xmax if conf.image else 0.0),
+        ymin=f(conf.ymin if conf.image else 0.0),
+        ymax=f(conf.ymax if conf.image else 0.0),
+        log10_nu_min=f(np.log10(nu_min)), log10_nu_max=f(np.log10(nu_max)),
+        log10_ap_min=f(np.log10(ap_min) if np.isfinite(ap_min) else 300.0),
+        log10_ap_max=f(np.log10(ap_max) if np.isfinite(ap_max) else 300.0),
+        n_view=len(conf.viewing_angles),
+        n_x=conf.n_x if conf.image else 1,
+        n_y=conf.n_y if conf.image else 1,
+        n_nu=conf.n_wav, n_ap=n_ap, n_orig=n_orig,
+        compute_image=bool(conf.image), compute_sed=bool(conf.sed),
+        uncertainties=bool(conf.uncertainties), track_origin=track)
+
+
+class PeelAccum(NamedTuple):
+    sed: jnp.ndarray    # (n_view, n_ap, n_nu, n_orig)
+    sed2: jnp.ndarray
+    sedn: jnp.ndarray
+    img: jnp.ndarray    # (n_view, n_y, n_x, n_nu, n_orig)
+    img2: jnp.ndarray
+    imgn: jnp.ndarray
+
+
+def init_peel_accum(group, dtype):
+    g = group
+    z = lambda *s: jnp.zeros(s, dtype=dtype)
+    return PeelAccum(
+        sed=z(g.n_view, g.n_ap, g.n_nu, g.n_orig),
+        sed2=z(g.n_view, g.n_ap, g.n_nu, g.n_orig),
+        sedn=z(g.n_view, g.n_ap, g.n_nu, g.n_orig),
+        img=z(g.n_view, g.n_y, g.n_x, g.n_nu, g.n_orig),
+        img2=z(g.n_view, g.n_y, g.n_x, g.n_nu, g.n_orig),
+        imgn=z(g.n_view, g.n_y, g.n_x, g.n_nu, g.n_orig))
+
+
+def escape_tau_walk(geometry, density, chi_rows, x, y, z, kx, ky, kz, cell,
+                    active, max_steps=100000):
+    """Batched optical depth to grid escape along fixed rays
+    (ref: grid_escape_tau, src/grid/grid_propagate_3d.f90:377-480).
+
+    chi_rows: (B, n_dust) cached extinction at each lane's frequency.
+    Runs until every active lane has escaped; inactive lanes cost nothing
+    extra because the loop condition is over the whole batch.
+    """
+    def cond2(c):
+        return jnp.any(c['active']) & (c['i'] < max_steps)
+
+    def body2(c):
+        cell_safe = jnp.where(c['cell'] >= 0, c['cell'], 0)
+        t_wall, next_cell, ax, wall_coord = geometry.find_wall(
+            cell_safe, c['x'], c['y'], c['z'], kx, ky, kz)
+        rho_rows = density[:, cell_safe].T
+        chi_rho = jnp.sum(chi_rows * rho_rows, axis=-1)
+        tau = c['tau'] + jnp.where(c['active'], chi_rho * t_wall, 0.0)
+        x2 = c['x'] + t_wall * kx
+        y2 = c['y'] + t_wall * ky
+        z2 = c['z'] + t_wall * kz
+        x2, y2, z2 = geometry.snap(x2, y2, z2, ax, wall_coord, c['active'])
+        cell2 = jnp.where(c['active'], next_cell, c['cell'])
+        active2 = c['active'] & (cell2 != ESCAPED)
+        return dict(x=jnp.where(c['active'], x2, c['x']),
+                    y=jnp.where(c['active'], y2, c['y']),
+                    z=jnp.where(c['active'], z2, c['z']),
+                    cell=cell2, tau=tau, active=active2, i=c['i'] + 1)
+
+    init = dict(x=x, y=y, z=z, cell=cell,
+                tau=jnp.zeros_like(x), active=active,
+                i=jnp.asarray(0, dtype=jnp.int32))
+    out = jax.lax.while_loop(cond2, body2, init)
+    return out['tau']
+
+
+def eval_phase_peel(dt, dust_id, nu, mu):
+    """Evaluate the normalized phase function P1_peel(mu; nu) per lane
+    (nearest frequency bin, linear interpolation in mu — matching the
+    scattering sampler's frequency treatment)."""
+    n_nu = dt.nu.shape[1]
+    n_mu = dt.mu.shape[1]
+    inu = jnp.clip(searchsorted_rows(dt.nu, dust_id, nu) - 1, 0, n_nu - 1)
+    rows = dust_id * n_nu + inu
+    j = jnp.clip(searchsorted_rows(dt.mu, dust_id, mu), 1, n_mu - 1)
+    flat = dt.P1_peel.reshape(-1)
+    base = rows.astype(jnp.int32) * n_mu
+    muflat = dt.mu.reshape(-1)
+    mubase = dust_id.astype(jnp.int32) * n_mu
+    m0 = muflat[mubase + j - 1]
+    m1 = muflat[mubase + j]
+    p0 = flat[base + j - 1]
+    p1 = flat[base + j]
+    frac = jnp.clip(jnp.where(m1 > m0, (mu - m0) / (m1 - m0), 0.0), 0.0, 1.0)
+    return p0 + frac * (p1 - p0)
+
+
+def peel_and_bin(geometry, dt, density, groups, accums, p_x, p_y, p_z,
+                 chi_rows, cell, nu, energy, weight_iso, is_scatter, dust_id,
+                 k_in_x, k_in_y, k_in_z, orig_idx, active, dtype):
+    """For every group and view: compute peel weight, escape tau, and bin.
+
+    weight_iso: weight for isotropic events (1); scattering events use the
+    phase function at the angle between the incoming direction and the view.
+    """
+    new_accums = []
+    for group, acc in zip(groups, accums):
+        sed, sed2, sedn = acc.sed, acc.sed2, acc.sedn
+        img, img2, imgn = acc.img, acc.img2, acc.imgn
+        for iv in range(group.n_view):
+            vd = group.view_dir[iv]
+            # peel probability
+            mu_req = k_in_x * vd[0] + k_in_y * vd[1] + k_in_z * vd[2]
+            w_scat = eval_phase_peel(dt, dust_id, nu, mu_req)
+            w = jnp.where(is_scatter, w_scat, weight_iso)
+
+            tau = escape_tau_walk(geometry, density, chi_rows,
+                                  p_x, p_y, p_z, vd[0], vd[1], vd[2],
+                                  cell, active)
+            flux = w * energy * jnp.exp(-tau)
+
+            # image-plane coordinates
+            dx = p_x - group.origin[0]
+            dy = p_y - group.origin[1]
+            dz = p_z - group.origin[2]
+            e, n = group.east[iv], group.north[iv]
+            x_img = dx * e[0] + dy * e[1] + dz * e[2]
+            y_img = dx * n[0] + dy * n[1] + dz * n[2]
+
+            # frequency bin
+            lognu = jnp.log10(nu)
+            fnu = (lognu - group.log10_nu_min) / \
+                  (group.log10_nu_max - group.log10_nu_min)
+            inu = jnp.floor(fnu * group.n_nu).astype(jnp.int32)
+            nu_ok = (inu >= 0) & (inu < group.n_nu)
+            inu = jnp.clip(inu, 0, group.n_nu - 1)
+
+            io = jnp.clip(orig_idx, 0, group.n_orig - 1) \
+                if group.n_orig > 1 else jnp.zeros_like(cell)
+
+            ok_base = active & nu_ok & (flux > 0.0)
+
+            if group.compute_sed:
+                # aperture bin (ref find_sed_bin: log radius bins; photons
+                # inside ap_min go to bin 0; bins are cumulated at write time)
+                r_img = jnp.sqrt(x_img ** 2 + y_img ** 2)
+                logr = jnp.log10(jnp.maximum(r_img, 1e-300))
+                if group.n_ap == 1:
+                    ir = jnp.zeros_like(cell)
+                    ap_ok = jnp.ones_like(ok_base)
+                else:
+                    fr = (logr - group.log10_ap_min) / \
+                         (group.log10_ap_max - group.log10_ap_min)
+                    ir = jnp.floor(fr * (group.n_ap - 1)).astype(jnp.int32) + 1
+                    ir = jnp.where(logr < group.log10_ap_min, 0, ir)
+                    ap_ok = ir < group.n_ap
+                    ir = jnp.clip(ir, 0, group.n_ap - 1)
+                ok = ok_base & ap_ok
+                iv_idx = jnp.full_like(cell, iv)
+                idx = ((iv_idx * group.n_ap + ir) * group.n_nu + inu) * \
+                    group.n_orig + io
+                idx = jnp.where(ok, idx, sed.size)
+                val = jnp.where(ok, flux, 0.0)
+                sed = sed.reshape(-1).at[idx].add(val, mode='drop').reshape(sed.shape)
+                if group.uncertainties:
+                    sed2 = sed2.reshape(-1).at[idx].add(val * val, mode='drop').reshape(sed2.shape)
+                    sedn = sedn.reshape(-1).at[idx].add(
+                        jnp.where(ok, 1.0, 0.0), mode='drop').reshape(sedn.shape)
+
+            if group.compute_image:
+                fx = (x_img - group.xmin) / (group.xmax - group.xmin)
+                fy = (y_img - group.ymin) / (group.ymax - group.ymin)
+                ix = jnp.floor(fx * group.n_x).astype(jnp.int32)
+                iy = jnp.floor(fy * group.n_y).astype(jnp.int32)
+                ok = ok_base & (ix >= 0) & (ix < group.n_x) & \
+                    (iy >= 0) & (iy < group.n_y)
+                ix = jnp.clip(ix, 0, group.n_x - 1)
+                iy = jnp.clip(iy, 0, group.n_y - 1)
+                iv_idx = jnp.full_like(cell, iv)
+                idx = (((iv_idx * group.n_y + iy) * group.n_x + ix) *
+                       group.n_nu + inu) * group.n_orig + io
+                idx = jnp.where(ok, idx, img.size)
+                val = jnp.where(ok, flux, 0.0)
+                img = img.reshape(-1).at[idx].add(val, mode='drop').reshape(img.shape)
+                if group.uncertainties:
+                    img2 = img2.reshape(-1).at[idx].add(val * val, mode='drop').reshape(img2.shape)
+                    imgn = imgn.reshape(-1).at[idx].add(
+                        jnp.where(ok, 1.0, 0.0), mode='drop').reshape(imgn.shape)
+
+        new_accums.append(PeelAccum(sed=sed, sed2=sed2, sedn=sedn,
+                                    img=img, img2=img2, imgn=imgn))
+    return new_accums
+
+
+class FinalPacketState(NamedTuple):
+    x: jnp.ndarray
+    y: jnp.ndarray
+    z: jnp.ndarray
+    kx: jnp.ndarray
+    ky: jnp.ndarray
+    kz: jnp.ndarray
+    nu: jnp.ndarray
+    energy: jnp.ndarray
+    cell: jnp.ndarray
+    tau: jnp.ndarray
+    n_inter: jnp.ndarray
+    alive: jnp.ndarray
+    reprocessed: jnp.ndarray   # ever re-emitted by dust
+    scattered: jnp.ndarray     # scattered since last emission
+    chi: jnp.ndarray
+    kappa: jnp.ndarray
+    albedo: jnp.ndarray
+
+
+def make_final_step(geometry, dt, st, density, jnu_var_id, jnu_var_frac,
+                    groups, config):
+    """While-loop body for the imaging iteration."""
+    dtype = density.dtype
+    n_cells = density.shape[1]
+
+    from .stable import emit_packets
+
+    ffi = config['forced_first_interaction']
+    peeloff_scattering_only = config['peeloff_scattering_only']
+
+    def step(carry):
+        p = carry['packets']
+        key, k_e, k_tau, k_ffi, k_dust, k_coin, k_nu, k_dir, k_mu, k_phi, \
+            k_tau2 = jax.random.split(carry['key'], 11)
+
+        # ---- refill + emission peeloff + FFI --------------------------------
+        dead = ~p.alive
+        rank = jnp.cumsum(dead.astype(carry['budget'].dtype))
+        can = dead & (rank <= carry['budget'])
+        n_new = jnp.sum(can.astype(carry['budget'].dtype))
+
+        new = emit_packets(st, k_e, p.x.shape[0], dtype)
+        cell_new = geometry.find_cell(new['x'], new['y'], new['z'],
+                                      new['kx'], new['ky'], new['kz'])
+        chi_n, kappa_n, alb_n = update_optical_constants(dt, new['nu'])
+
+        m = lambda old, new_: jnp.where(can, new_, old)
+        m2 = lambda old, new_: jnp.where(can[:, None], new_, old)
+
+        emitted = can & (cell_new != ESCAPED)
+        energy_new = jnp.asarray(1.0, dtype) * jnp.ones_like(new['x'])
+
+        # WR99 forced first interaction: reweight by 1 - exp(-tau_escape)
+        # and draw the first interaction depth inside the grid
+        if ffi:
+            tau_esc = escape_tau_walk(geometry, density, chi_n,
+                                      new['x'], new['y'], new['z'],
+                                      new['kx'], new['ky'], new['kz'],
+                                      cell_new, emitted)
+            w_ffi = -jnp.expm1(-tau_esc)
+            xi = jax.random.uniform(k_ffi, tau_esc.shape, dtype=dtype)
+            tau_new = -jnp.log1p(-xi * w_ffi)
+            energy_new = energy_new * w_ffi
+        else:
+            tau_new = random_exp(k_tau, p.tau.shape, dtype)
+
+        packets = FinalPacketState(
+            x=m(p.x, new['x']), y=m(p.y, new['y']), z=m(p.z, new['z']),
+            kx=m(p.kx, new['kx']), ky=m(p.ky, new['ky']), kz=m(p.kz, new['kz']),
+            nu=m(p.nu, new['nu']),
+            energy=m(p.energy, energy_new),
+            cell=jnp.where(can, cell_new, p.cell),
+            tau=m(p.tau, tau_new),
+            n_inter=jnp.where(can, 0, p.n_inter),
+            alive=p.alive | (emitted & (energy_new > 0.0)),
+            reprocessed=jnp.where(can, False, p.reprocessed),
+            scattered=jnp.where(can, False, p.scattered),
+            chi=m2(p.chi, chi_n), kappa=m2(p.kappa, kappa_n),
+            albedo=m2(p.albedo, alb_n))
+
+        accums = carry['accums']
+        if not peeloff_scattering_only:
+            # Emission peeloff: isotropic weight 1 with the pre-FFI energy
+            # (the FFI reweight applies to the *transported* photon only,
+            # ref iter_final.f90:120 peels before the forced interaction)
+            accums = peel_and_bin(
+                geometry, dt, density, groups, accums,
+                packets.x, packets.y, packets.z, packets.chi, packets.cell,
+                packets.nu, jnp.where(emitted, 1.0, 0.0),
+                jnp.ones_like(packets.x), jnp.zeros_like(emitted),
+                jnp.zeros_like(packets.cell), packets.kx, packets.ky,
+                packets.kz, jnp.full_like(packets.cell, ORIG_SOURCE_EMIT),
+                emitted, dtype)
+
+        p = packets
+        budget = carry['budget'] - n_new
+        energy_current = carry['energy_current'] + n_new.astype(dtype)
+
+        # ---- propagation substep (no energy deposit) ------------------------
+        active = p.alive
+        cell_safe = jnp.where(p.cell >= 0, p.cell, 0)
+        t_wall, next_cell, ax, wall_coord = geometry.find_wall(
+            cell_safe, p.x, p.y, p.z, p.kx, p.ky, p.kz)
+        rho_rows = density[:, cell_safe].T
+        chi_rho = jnp.sum(p.chi * rho_rows, axis=-1)
+        tau_wall = chi_rho * t_wall
+        hits_wall = (tau_wall < p.tau) | (chi_rho <= 0.0)
+        t_int = jnp.where(chi_rho > 0.0, p.tau / jnp.maximum(chi_rho, 1e-300),
+                          t_wall)
+        d_move = jnp.where(hits_wall, t_wall, t_int)
+
+        x = p.x + d_move * p.kx
+        y = p.y + d_move * p.ky
+        z = p.z + d_move * p.kz
+        x, y, z = geometry.snap(x, y, z, ax, wall_coord, active & hits_wall)
+        tau = jnp.where(hits_wall, p.tau - tau_wall, jnp.zeros_like(p.tau))
+
+        cell = jnp.where(active & hits_wall, next_cell, p.cell)
+        escaped = active & hits_wall & (cell == ESCAPED)
+
+        # ---- interaction ----------------------------------------------------
+        interacting = active & ~hits_wall
+        d_sel = select_dust(k_dust, p.chi, rho_rows)
+        alb = jnp.take_along_axis(p.albedo, d_sel[:, None], axis=-1)[:, 0]
+        coin = jax.random.uniform(k_coin, alb.shape, dtype=dtype)
+        scatter = coin <= alb
+
+        var_id = jnu_var_id[d_sel, cell_safe]
+        var_frac = jnu_var_frac[d_sel, cell_safe]
+        nu_em = sample_emission_nu(dt, d_sel, var_id, var_frac, k_nu)
+        ex, ey, ez = isotropic_direction(k_dir, p.nu.shape, dtype)
+        mu_s = sample_scattering_mu(dt, d_sel, p.nu, k_mu)
+        phi_s = jax.random.uniform(k_phi, p.nu.shape, dtype=dtype,
+                                   maxval=2 * jnp.pi)
+        sx, sy, sz = rotate_direction(p.kx, p.ky, p.kz, mu_s, phi_s)
+
+        absorbed = interacting & ~scatter
+        scattered_now = interacting & scatter
+        nu = jnp.where(absorbed, nu_em, p.nu)
+        kx = jnp.where(absorbed, ex, jnp.where(scattered_now, sx, p.kx))
+        ky = jnp.where(absorbed, ey, jnp.where(scattered_now, sy, p.ky))
+        kz = jnp.where(absorbed, ez, jnp.where(scattered_now, sz, p.kz))
+
+        reprocessed = p.reprocessed | absorbed
+        scattered_flag = jnp.where(absorbed, False,
+                                   p.scattered | scattered_now)
+
+        # ---- interaction peeloff -------------------------------------------
+        # Origin: scattering keeps the last-emission provenance; absorption
+        # resets to dust emission (ref orig(), image_type.f90:117-134)
+        orig_idx = jnp.where(
+            scattered_now,
+            jnp.where(p.reprocessed, ORIG_DUST_SCAT, ORIG_SOURCE_SCAT),
+            ORIG_DUST_EMIT)
+        # refresh opacities for re-emitted lanes BEFORE peeling: the peel
+        # escape-tau must use the re-emitted frequency's extinction
+        # (ref: interact() calls update_optconsts before peeloff_photon)
+        chi_n2, kappa_n2, alb_n2 = update_optical_constants(dt, nu)
+        chi = jnp.where(absorbed[:, None], chi_n2, p.chi)
+        kappa = jnp.where(absorbed[:, None], kappa_n2, p.kappa)
+        albedo = jnp.where(absorbed[:, None], alb_n2, p.albedo)
+
+        # Killed photons do not peel (ref iter_final.f90:262-268)
+        peel_events = interacting
+        if peeloff_scattering_only:
+            peel_events = scattered_now
+        if config['kill_on_absorb']:
+            peel_events = peel_events & ~absorbed
+        if config['kill_on_scatter']:
+            peel_events = peel_events & ~scattered_now
+        accums = peel_and_bin(
+            geometry, dt, density, groups, accums,
+            x, y, z, chi, cell, nu, p.energy,
+            jnp.ones_like(x), scattered_now, d_sel,
+            p.kx, p.ky, p.kz, orig_idx, peel_events, dtype)
+
+        tau = jnp.where(interacting, random_exp(k_tau2, tau.shape, dtype), tau)
+        n_inter = p.n_inter + interacting.astype(jnp.int32)
+
+        killed_now = interacting & (n_inter > config['n_inter_max'])
+        kill_flag = (config['kill_on_scatter'] & scattered_now) | \
+                    (config['kill_on_absorb'] & absorbed)
+        killed_now = killed_now | (interacting & kill_flag)
+
+        alive = active & ~escaped & ~killed_now
+
+        packets = FinalPacketState(
+            x=x, y=y, z=z, kx=kx, ky=ky, kz=kz, nu=nu, energy=p.energy,
+            cell=cell, tau=tau, n_inter=n_inter, alive=alive,
+            reprocessed=reprocessed, scattered=scattered_flag,
+            chi=chi, kappa=kappa, albedo=albedo)
+
+        return dict(packets=packets, key=key, budget=budget,
+                    energy_current=energy_current, accums=accums,
+                    killed_int=carry['killed_int'] +
+                    jnp.sum(killed_now.astype(carry['killed_int'].dtype)),
+                    n_steps=carry['n_steps'] + 1)
+
+    return step
+
+
+@partial(jax.jit, static_argnames=('batch_size', 'config_tuple'))
+def _run_final_jit(geometry, dt, st, density, jnu_var_id, jnu_var_frac,
+                   groups, key, n_photons, batch_size, config_tuple):
+    config = dict(config_tuple)
+    n_dust = dt.n_dust
+    dtype = density.dtype
+    B = batch_size
+    itype = jnp.int64 if jax.config.jax_enable_x64 else jnp.int32
+
+    zeros = lambda *s: jnp.zeros(s, dtype=dtype)
+    packets = FinalPacketState(
+        x=zeros(B), y=zeros(B), z=zeros(B),
+        kx=zeros(B), ky=zeros(B), kz=jnp.ones((B,), dtype=dtype),
+        nu=jnp.ones((B,), dtype=dtype), energy=zeros(B),
+        cell=jnp.zeros((B,), dtype=jnp.int32),
+        tau=zeros(B), n_inter=jnp.zeros((B,), dtype=jnp.int32),
+        alive=jnp.zeros((B,), dtype=bool),
+        reprocessed=jnp.zeros((B,), dtype=bool),
+        scattered=jnp.zeros((B,), dtype=bool),
+        chi=zeros(B, n_dust), kappa=zeros(B, n_dust),
+        albedo=zeros(B, n_dust))
+
+    accums = [init_peel_accum(g, dtype) for g in groups]
+    carry = dict(packets=packets, key=key,
+                 budget=jnp.asarray(n_photons, dtype=itype),
+                 energy_current=jnp.asarray(0.0, dtype=dtype),
+                 accums=accums,
+                 killed_int=jnp.asarray(0, dtype=itype),
+                 n_steps=jnp.asarray(0, dtype=itype))
+
+    step = make_final_step(geometry, dt, st, density, jnu_var_id,
+                           jnu_var_frac, groups, config)
+    max_steps = config['max_steps']
+
+    def cond(carry):
+        return ((carry['budget'] > 0) | jnp.any(carry['packets'].alive)) & \
+               (carry['n_steps'] < max_steps)
+
+    carry = jax.lax.while_loop(cond, step, carry)
+    return (carry['accums'], carry['energy_current'], carry['killed_int'],
+            carry['n_steps'])
+
+
+def run_final(geometry, dt, st, density, specific_energy, groups, key,
+              n_photons, batch_size=65536, n_inter_max=1000000,
+              kill_on_scatter=False, kill_on_absorb=False,
+              forced_first_interaction=True, peeloff_scattering_only=False,
+              max_steps=100000000):
+    """Run the imaging iteration; returns (accums, energy_current, stats)."""
+    from .lucy import compute_jnu_var
+    import jax.numpy as jnp_
+
+    if specific_energy is None:
+        specific_energy = jnp_.zeros_like(density)
+    jnu_var_id, jnu_var_frac = compute_jnu_var(dt, jnp_.asarray(specific_energy,
+                                                                dtype=density.dtype))
+    config_tuple = (('n_inter_max', int(n_inter_max)),
+                    ('kill_on_scatter', bool(kill_on_scatter)),
+                    ('kill_on_absorb', bool(kill_on_absorb)),
+                    ('forced_first_interaction', bool(forced_first_interaction)),
+                    ('peeloff_scattering_only', bool(peeloff_scattering_only)),
+                    ('max_steps', int(max_steps)))
+    accums, energy_current, killed_int, n_steps = _run_final_jit(
+        geometry, dt, st, density, jnu_var_id, jnu_var_frac, list(groups),
+        key, n_photons, batch_size, config_tuple)
+    return accums, float(energy_current), dict(killed_int=int(killed_int),
+                                               n_steps=int(n_steps))

@@ -21,8 +21,13 @@ from .sampling import interp_loglog
 
 
 def normalize_specific_energy(energy_sum, scale, volumes):
-    """ref: update_energy_abs, grid_physics_3d.f90:500-555."""
-    se = energy_sum * scale / jnp.maximum(volumes[None, :], 1e-300)
+    """ref: update_energy_abs, grid_physics_3d.f90:500-555.
+
+    Divide by volume BEFORE applying the luminosity scale: in f32 cgs units
+    the product energy_sum * scale can reach ~1e44 and overflow, while
+    (energy_sum / volume) * scale stays in range.
+    """
+    se = energy_sum / jnp.maximum(volumes[None, :], 1e-300) * scale
     return jnp.where(volumes[None, :] > 0.0, se, 0.0)
 
 
@@ -165,9 +170,12 @@ def run_lucy(geometry, dt, st, density, key, n_photons, n_iterations,
                 geometry, dt, st, density, jnu_var_id, jnu_var_frac, k_it,
                 n_photons, batch_size, config_tuple)
 
-        scale = st.energy_total / jnp.maximum(energy_current, 1e-300)
-        specific_energy = normalize_specific_energy(energy_sum, scale,
-                                                    geometry.volumes)
+        # Host-side float64 for the combined scale: the geometry's volume
+        # normalization folds in here (see gtable volume_scale)
+        scale = float(st.energy_total) / max(float(energy_current), 1e-300) \
+            / geometry.volume_scale
+        specific_energy = normalize_specific_energy(
+            energy_sum, jnp.asarray(scale, dtype=dtype), geometry.volumes)
         if minimum_specific_energy is not None:
             specific_energy = apply_minimum_specific_energy(
                 specific_energy, jnp.asarray(minimum_specific_energy, dtype=dtype))
