@@ -29,7 +29,8 @@ def run_imaging(model, out, geometry, dt, st, density, specific_energy,
         raise Exception("imaging photon count has not been set "
                         "(set_n_photons(imaging=...))")
 
-    groups = [build_peel_group(conf, dtype=dtype)
+    groups = [build_peel_group(conf, dtype=dtype,
+                               length_scale=geometry.length_scale)
               for conf in model.peeled_output]
 
     key = jax.random.PRNGKey((abs(model._seed) + 1) % (2 ** 31))

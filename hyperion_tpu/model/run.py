@@ -36,12 +36,13 @@ def build_geometry_tables(grid, dtype):
                               "engine: %s" % type(grid))
 
 
-def _density_array(model, dtype):
-    """Flatten the grid's per-dust density lists to (n_dust, n_cells)."""
+def _density_array(model, dtype, length_scale):
+    """Flatten per-dust densities to (n_dust, n_cells) in ENGINE units:
+    multiplied by the geometry length scale so chi*rho*ds is scale-free."""
     import jax.numpy as jnp
     density = model.grid.quantities['density']
     arr = np.array([np.asarray(d, float).reshape(-1) for d in density])
-    return jnp.asarray(arr, dtype=dtype)
+    return jnp.asarray(arr * length_scale, dtype=dtype)
 
 
 def _initial_specific_energy(model, n_dust, n_cells, dtype):
@@ -71,8 +72,9 @@ def run_model(model, filename, batch_size=None, dtype=None, parallel=False):
 
     geometry = build_geometry_tables(model.grid, dtype)
     dt = build_dust_tables(dusts, dtype=dtype)
-    st = build_source_tables(model.sources, dtype=dtype)
-    density = _density_array(model, dtype)
+    st = build_source_tables(model.sources, dtype=dtype,
+                             length_scale=geometry.length_scale)
+    density = _density_array(model, dtype, geometry.length_scale)
     n_cells = density.shape[1]
 
     if batch_size is None:

@@ -33,17 +33,21 @@ ESCAPED = -1
 @register_dataclass
 @dataclass(frozen=True)
 class CartesianGeometry:
+    # ENGINE UNITS: all geometry lengths are stored divided by length_scale
+    # (the grid's max extent). Astrophysical cgs lengths (1e11..1e18 cm)
+    # would overflow/underflow f32 squares and TPU reciprocals; in engine
+    # units positions are O(1) and f32 precision follows the log-spaced cell
+    # structure. Densities are pre-multiplied by length_scale so optical
+    # depths are scale-free, and the host-side energy normalization divides
+    # by length_scale^2 (see lucy.run_lucy).
     xw: jnp.ndarray
     yw: jnp.ndarray
     zw: jnp.ndarray
-    # Cell volumes normalized by volume_scale: astrophysical cgs volumes
-    # (~1e38 cm^3) overflow/underflow f32 reciprocals on TPU, so the device
-    # array holds O(1) values and the true scale stays in host float64.
-    volumes: jnp.ndarray  # (n_cells,), = volumes_cgs / volume_scale
+    volumes: jnp.ndarray  # (n_cells,), = volumes_cgs / length_scale^3
     n1: int = field(metadata=dict(static=True))
     n2: int = field(metadata=dict(static=True))
     n3: int = field(metadata=dict(static=True))
-    volume_scale: float = field(metadata=dict(static=True))
+    length_scale: float = field(metadata=dict(static=True))
 
     @property
     def n_cells(self):
@@ -126,13 +130,13 @@ def build_cartesian_geometry(grid, dtype=jnp.float32):
     xw = np.asarray(grid.x_wall, float)
     yw = np.asarray(grid.y_wall, float)
     zw = np.asarray(grid.z_wall, float)
+    L = float(max(np.abs(xw).max(), np.abs(yw).max(), np.abs(zw).max()))
     volumes = grid.volumes.reshape(-1)
-    volume_scale = float(volumes.max())
     return CartesianGeometry(
-        xw=jnp.asarray(xw, dtype=dtype),
-        yw=jnp.asarray(yw, dtype=dtype),
-        zw=jnp.asarray(zw, dtype=dtype),
-        volumes=jnp.asarray(volumes / volume_scale, dtype=dtype),
+        xw=jnp.asarray(xw / L, dtype=dtype),
+        yw=jnp.asarray(yw / L, dtype=dtype),
+        zw=jnp.asarray(zw / L, dtype=dtype),
+        volumes=jnp.asarray(volumes / L ** 3, dtype=dtype),
         n1=len(xw) - 1, n2=len(yw) - 1, n3=len(zw) - 1,
-        volume_scale=volume_scale,
+        length_scale=L,
     )

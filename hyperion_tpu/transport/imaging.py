@@ -64,7 +64,7 @@ class PeelGroup:
     track_origin: str = field(metadata=dict(static=True))
 
 
-def build_peel_group(conf, dtype=jnp.float32):
+def build_peel_group(conf, dtype=jnp.float32, length_scale=1.0):
     """Build a PeelGroup from a PeeledImageConf (external observers)."""
     from ..util.constants import c
     if conf.inside_observer is not None:
@@ -76,7 +76,8 @@ def build_peel_group(conf, dtype=jnp.float32):
     view = np.stack([st * cp, st * sp, ct], axis=1)
     east = np.stack([-sp, cp, np.zeros_like(sp)], axis=1)
     north = np.stack([-ct * cp, -ct * sp, st], axis=1)
-    origin = np.asarray(conf.peeloff_origin or (0.0, 0.0, 0.0), float)
+    L = float(length_scale)
+    origin = np.asarray(conf.peeloff_origin or (0.0, 0.0, 0.0), float) / L
 
     if conf._monochromatic:
         raise NotImplementedError("Monochromatic peeloff is handled by the "
@@ -85,7 +86,7 @@ def build_peel_group(conf, dtype=jnp.float32):
     nu_max = c / (conf.wav_min * 1.e-4)
 
     if conf.sed:
-        ap_min, ap_max = conf.ap_min, conf.ap_max
+        ap_min, ap_max = conf.ap_min / L, conf.ap_max / L
         n_ap = conf.n_ap
     else:
         ap_min = ap_max = np.inf
@@ -99,10 +100,10 @@ def build_peel_group(conf, dtype=jnp.float32):
     f = lambda v: jnp.asarray(v, dtype=dtype)
     return PeelGroup(
         view_dir=f(view), east=f(east), north=f(north), origin=f(origin),
-        xmin=f(conf.xmin if conf.image else 0.0),
-        xmax=f(conf.xmax if conf.image else 0.0),
-        ymin=f(conf.ymin if conf.image else 0.0),
-        ymax=f(conf.ymax if conf.image else 0.0),
+        xmin=f(conf.xmin / L if conf.image else 0.0),
+        xmax=f(conf.xmax / L if conf.image else 0.0),
+        ymin=f(conf.ymin / L if conf.image else 0.0),
+        ymax=f(conf.ymax / L if conf.image else 0.0),
         log10_nu_min=f(np.log10(nu_min)), log10_nu_max=f(np.log10(nu_max)),
         log10_ap_min=f(np.log10(ap_min) if np.isfinite(ap_min) else 300.0),
         log10_ap_max=f(np.log10(ap_max) if np.isfinite(ap_max) else 300.0),

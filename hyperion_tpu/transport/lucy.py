@@ -170,10 +170,11 @@ def run_lucy(geometry, dt, st, density, key, n_photons, n_iterations,
                 geometry, dt, st, density, jnu_var_id, jnu_var_frac, k_it,
                 n_photons, batch_size, config_tuple)
 
-        # Host-side float64 for the combined scale: the geometry's volume
-        # normalization folds in here (see gtable volume_scale)
+        # Host-side float64 for the combined scale; the engine works in
+        # lengths of geometry.length_scale so ds carries one factor of L and
+        # volumes carry L^3 -> net 1/L^2 here (see gtable docstring)
         scale = float(st.energy_total) / max(float(energy_current), 1e-300) \
-            / geometry.volume_scale
+            / geometry.length_scale ** 2
         specific_energy = normalize_specific_energy(
             energy_sum, jnp.asarray(scale, dtype=dtype), geometry.volumes)
         if minimum_specific_energy is not None:

@@ -81,7 +81,8 @@ def _spectrum_cdf(source, n_grid):
     return nu, cdf
 
 
-def build_source_tables(sources, dtype=jnp.float32, n_spec=400):
+def build_source_tables(sources, dtype=jnp.float32, n_spec=400,
+                        length_scale=1.0):
     """Build SourceTables from a list of Source objects.
 
     PointSourceCollection is expanded into one emission row per point (the
@@ -144,6 +145,11 @@ def build_source_tables(sources, dtype=jnp.float32, n_spec=400):
         rows.append(row)
 
     n = len(rows)
+    L = float(length_scale)
+    for r in rows:
+        r['position'] = np.asarray(r['position'], float) / L
+        r['radius'] = r['radius'] / L
+        r['bounds'] = np.asarray(r['bounds'], float) / L
     lum = np.array([r['luminosity'] for r in rows])
     lum_cdf = np.cumsum(lum) / lum.sum()
     lum_cdf[-1] = 1.0

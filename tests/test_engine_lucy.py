@@ -26,8 +26,11 @@ def setup_point_model(n=15, half=1.0, rho=1e-4, chi=1.0, albedo=0.0,
     source = PointSource(luminosity=luminosity, temperature=5000.0)
     geometry = build_cartesian_geometry(grid, dtype=jnp.float64)
     dt = build_dust_tables([dust], dtype=jnp.float64)
-    st = build_source_tables([source], dtype=jnp.float64)
-    density = jnp.full((1, grid.n_cells), rho, dtype=jnp.float64)
+    st = build_source_tables([source], dtype=jnp.float64,
+                             length_scale=geometry.length_scale)
+    # engine units: density pre-multiplied by the geometry length scale
+    density = jnp.full((1, grid.n_cells), rho * geometry.length_scale,
+                       dtype=jnp.float64)
     return grid, geometry, dt, st, density
 
 
