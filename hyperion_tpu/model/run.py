@@ -111,6 +111,9 @@ def run_model(model, filename, batch_size=None, dtype=None, parallel=False):
             convergence_relative=getattr(model, 'convergence_relative', 1.02),
             convergence_percentile=getattr(model, 'convergence_percentile', 100.0),
             initial_specific_energy=init_se,
+            use_mrw=model.mrw,
+            mrw_gamma=getattr(model, 'mrw_gamma', 1.0),
+            n_mrw_max=getattr(model, 'n_inter_mrw_max', 1000),
             verbose=True, iteration_callback=callback)
 
     # ---- write output -------------------------------------------------------

@@ -22,6 +22,7 @@ import jax.numpy as jnp
 from .gtable import ESCAPED
 from .sampling import (isotropic_direction, random_exp, rotate_direction,
                        sample_cdf_rows2, searchsorted_rows, interp_loglog)
+from .mrw import sample_min09
 
 
 class PacketState(NamedTuple):
@@ -36,6 +37,7 @@ class PacketState(NamedTuple):
     cell: jnp.ndarray          # flat cell index, ESCAPED when outside
     tau: jnp.ndarray           # optical depth remaining to next interaction
     n_inter: jnp.ndarray       # interaction count
+    n_mrw: jnp.ndarray         # MRW step count since emission
     alive: jnp.ndarray         # bool
     chi: jnp.ndarray           # (B, n_dust) cached extinction at nu
     kappa: jnp.ndarray         # (B, n_dust) cached absorption at nu
@@ -107,7 +109,7 @@ def select_dust(key, chi, density_rows):
 
 
 def make_lucy_step(geometry, dt, st, density, jnu_var_id, jnu_var_frac,
-                   config):
+                   config, mrw=None):
     """Build the while_loop body for one Lucy iteration.
 
     density: (n_dust, n_cells); jnu_var_id/frac: (n_dust, n_cells) emissivity
@@ -148,6 +150,7 @@ def make_lucy_step(geometry, dt, st, density, jnu_var_id, jnu_var_frac,
             cell=jnp.where(can, cell_new, p.cell),
             tau=m(p.tau, tau_new),
             n_inter=jnp.where(can, 0, p.n_inter),
+            n_mrw=jnp.where(can, 0, p.n_mrw),
             alive=p.alive | (can & (cell_new != ESCAPED)),
             chi=m(p.chi, chi_n), kappa=m(p.kappa, kappa_n),
             albedo=m(p.albedo, alb_n),
@@ -171,6 +174,63 @@ def make_lucy_step(geometry, dt, st, density, jnu_var_id, jnu_var_frac,
         active = p.alive
         cell_safe = jnp.where(p.cell >= 0, p.cell, 0)
 
+        # --- Modified Random Walk (ref iter_lucy.f90:138-152) ---
+        if mrw is not None:
+            k_mrw1, k_mrw2, k_mrw3, k_mrw4, k_mrw5 = jax.random.split(
+                jax.random.fold_in(key, 17), 5)
+            d_close = geometry.closest_wall_distance(cell_safe, p.x, p.y, p.z)
+            tau_close = mrw.alpha_inv_planck[cell_safe] * d_close
+            mrw_now = active & (p.n_inter >= 1) & (tau_close > mrw.gamma)
+
+            y = sample_min09(mrw, k_mrw1, p.x.shape, dtype)
+            # ct = -ln(y) * 3 * alpha_inv_planck * (R0/pi)^2 (Min+09 eq. 8)
+            ct = -jnp.log(jnp.maximum(y, 1e-30)) * 3.0 * \
+                mrw.alpha_inv_planck[cell_safe] * (d_close / jnp.pi) ** 2
+            # deposit ct * kappa_planck * E per dust (Min+09 eq. 9)
+            rho_rows_m = density[:, cell_safe].T
+            dep_idx_m = jnp.where(mrw_now, cell_safe, n_cells)
+            energy_sum_m = carry.energy_sum
+            for d in range(n_dust):
+                dep = jnp.where(mrw_now & (rho_rows_m[:, d] > 0.0),
+                                ct * mrw.kappa_planck[d, cell_safe] * p.energy,
+                                0.0)
+                energy_sum_m = energy_sum_m.at[d, dep_idx_m].add(dep,
+                                                                 mode='drop')
+            carry = carry._replace(energy_sum=energy_sum_m)
+            # jump to the sphere surface with a fresh isotropic direction
+            jx, jy, jz = isotropic_direction(k_mrw2, p.x.shape, dtype)
+            nkx, nky, nkz = isotropic_direction(k_mrw3, p.x.shape, dtype)
+            x_m = p.x + d_close * jx
+            y_m = p.y + d_close * jy
+            z_m = p.z + d_close * jz
+            # resample frequency from the local b_nu emissivity
+            d_sel_m = select_dust(k_mrw4, p.chi, rho_rows_m)
+            nu_m = sample_emission_nu(dt, d_sel_m,
+                                      jnu_var_id[d_sel_m, cell_safe],
+                                      jnu_var_frac[d_sel_m, cell_safe],
+                                      k_mrw5, use_bnu=True)
+            chi_m, kappa_m, alb_m = update_optical_constants(dt, nu_m)
+            n_mrw_new = p.n_mrw + mrw_now.astype(jnp.int32)
+            killed_mrw = mrw_now & (n_mrw_new > config['n_mrw_max'])
+            p = p._replace(
+                x=jnp.where(mrw_now, x_m, p.x),
+                y=jnp.where(mrw_now, y_m, p.y),
+                z=jnp.where(mrw_now, z_m, p.z),
+                kx=jnp.where(mrw_now, nkx, p.kx),
+                ky=jnp.where(mrw_now, nky, p.ky),
+                kz=jnp.where(mrw_now, nkz, p.kz),
+                nu=jnp.where(mrw_now, nu_m, p.nu),
+                chi=jnp.where(mrw_now[:, None], chi_m, p.chi),
+                kappa=jnp.where(mrw_now[:, None], kappa_m, p.kappa),
+                albedo=jnp.where(mrw_now[:, None], alb_m, p.albedo),
+                n_mrw=n_mrw_new,
+                alive=p.alive & ~killed_mrw)
+            carry = carry._replace(
+                killed_int=carry.killed_int +
+                jnp.sum(killed_mrw.astype(carry.killed_int.dtype)))
+            # lanes that just did an MRW step skip normal propagation
+            active = p.alive & ~mrw_now
+
         # --- distance to next wall ---
         t_wall, next_cell, ax, wall_coord = geometry.find_wall(
             cell_safe, p.x, p.y, p.z, p.kx, p.ky, p.kz)
@@ -193,12 +253,15 @@ def make_lucy_step(geometry, dt, st, density, jnu_var_id, jnu_var_frac,
                             d_move * p.kappa[:, d] * p.energy, 0.0)
             energy_sum = energy_sum.at[d, dep_idx].add(dep, mode='drop')
 
-        # --- move ---
-        x = p.x + d_move * p.kx
-        y = p.y + d_move * p.ky
-        z = p.z + d_move * p.kz
+        # --- move (masked: MRW-jumped lanes already moved this step) ---
+        x = jnp.where(active, p.x + d_move * p.kx, p.x)
+        y = jnp.where(active, p.y + d_move * p.ky, p.y)
+        z = jnp.where(active, p.z + d_move * p.kz, p.z)
         x, y, z = geometry.snap(x, y, z, ax, wall_coord, active & hits_wall)
-        tau = jnp.where(hits_wall, p.tau - tau_wall, jnp.zeros_like(p.tau))
+        tau = jnp.where(active,
+                        jnp.where(hits_wall, p.tau - tau_wall,
+                                  jnp.zeros_like(p.tau)),
+                        p.tau)
 
         # --- wall crossing ---
         cell = jnp.where(active & hits_wall, next_cell, p.cell)
@@ -242,18 +305,23 @@ def make_lucy_step(geometry, dt, st, density, jnu_var_id, jnu_var_frac,
         # new optical depth for lanes that interacted
         tau = jnp.where(interacting, random_exp(k_tau, tau.shape, dtype), tau)
         n_inter = p.n_inter + interacting.astype(jnp.int32)
+        # the MRW step cap applies per diffusion burst: reset at interactions
+        # (ref iter_lucy.f90:141 do mrw_steps=1,n_mrw_max inside one pass)
+        n_mrw = jnp.where(interacting, 0, p.n_mrw)
 
         killed_now = interacting & (n_inter > config['n_inter_max'])
         kill_flag = (config['kill_on_scatter'] & scattered) | \
                     (config['kill_on_absorb'] & absorbed)
         killed_now = killed_now | (interacting & kill_flag)
 
-        alive = active & ~escaped & ~killed_now
+        # escaped/killed_now are subsets of the propagating lanes, so lanes
+        # that did an MRW jump this step stay alive through here
+        alive = p.alive & ~escaped & ~killed_now
 
         packets = PacketState(x=x, y=y, z=z, kx=kx, ky=ky, kz=kz, nu=nu,
                               energy=p.energy, cell=cell, tau=tau,
-                              n_inter=n_inter, alive=alive, chi=chi,
-                              kappa=kappa, albedo=albedo)
+                              n_inter=n_inter, n_mrw=n_mrw, alive=alive,
+                              chi=chi, kappa=kappa, albedo=albedo)
         return LucyCarry(
             packets=packets, key=key, budget=carry.budget,
             energy_current=carry.energy_current, energy_sum=energy_sum,
@@ -266,7 +334,7 @@ def make_lucy_step(geometry, dt, st, density, jnu_var_id, jnu_var_frac,
 
 
 def lucy_iteration_impl(geometry, dt, st, density, jnu_var_id, jnu_var_frac,
-                        key, n_photons, batch_size, config_tuple):
+                        key, n_photons, batch_size, config_tuple, mrw=None):
     """Un-jitted single-device Lucy iteration body (also the per-device
     function under shard_map for multi-chip runs).
 
@@ -288,6 +356,7 @@ def lucy_iteration_impl(geometry, dt, st, density, jnu_var_id, jnu_var_frac,
         nu=jnp.ones((B,), dtype=dtype), energy=zeros(B),
         cell=jnp.zeros((B,), dtype=jnp.int32),
         tau=zeros(B), n_inter=jnp.zeros((B,), dtype=jnp.int32),
+        n_mrw=jnp.zeros((B,), dtype=jnp.int32),
         alive=jnp.zeros((B,), dtype=bool),
         chi=zeros(B, n_dust), kappa=zeros(B, n_dust),
         albedo=zeros(B, n_dust))
@@ -303,7 +372,7 @@ def lucy_iteration_impl(geometry, dt, st, density, jnu_var_id, jnu_var_frac,
         n_steps=jnp.asarray(0, dtype=itype))
 
     step = make_lucy_step(geometry, dt, st, density, jnu_var_id, jnu_var_frac,
-                          config)
+                          config, mrw=mrw)
 
     max_steps = config['max_steps']
 

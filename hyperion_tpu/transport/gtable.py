@@ -117,6 +117,15 @@ class CartesianGeometry:
         wall_coord = jnp.where(ax == 0, w1, jnp.where(ax == 1, w2, w3))
         return t, next_cell, ax, wall_coord
 
+    def closest_wall_distance(self, cell, x, y, z):
+        """Perpendicular distance to the nearest cell wall (MRW trigger,
+        ref distance_to_closest_wall in each geometry module)."""
+        i1, i2, i3 = self.decode(cell)
+        d1 = jnp.minimum(x - self.xw[i1], self.xw[i1 + 1] - x)
+        d2 = jnp.minimum(y - self.yw[i2], self.yw[i2 + 1] - y)
+        d3 = jnp.minimum(z - self.zw[i3], self.zw[i3 + 1] - z)
+        return jnp.maximum(jnp.minimum(jnp.minimum(d1, d2), d3), 0.0)
+
     def snap(self, x, y, z, ax, wall_coord, crossed):
         """Place crossed packets exactly on the crossed wall coordinate."""
         x = jnp.where(crossed & (ax == 0), wall_coord, x)

@@ -136,6 +136,19 @@ class CylindricalGeometry:
         next_cell = jnp.where(bad, ESCAPED, next_cell)
         return t, next_cell, which, t
 
+    def closest_wall_distance(self, cell, x, y, z):
+        i1, i2, i3 = self.decode(cell)
+        w = jnp.sqrt(x * x + y * y)
+        d = jnp.minimum(jnp.maximum(w - self.ww[i1], 0.0),
+                        jnp.maximum(self.ww[i1 + 1] - w, 0.0))
+        d = jnp.minimum(d, jnp.minimum(z - self.zw[i2], self.zw[i2 + 1] - z))
+        if self.n3 > 1:
+            phi = jnp.arctan2(y, x) % (2.0 * jnp.pi)
+            d_p1 = w * jnp.abs(jnp.sin(phi - self.phi_w[i3]))
+            d_p2 = w * jnp.abs(jnp.sin(self.phi_w[i3 + 1] - phi))
+            d = jnp.minimum(d, jnp.minimum(d_p1, d_p2))
+        return jnp.maximum(d, 0.0)
+
     def snap(self, x, y, z, ax, wall_coord, crossed):
         return x, y, z
 

@@ -201,6 +201,33 @@ class SphericalGeometry:
         next_cell = jnp.where(bad, ESCAPED, next_cell)
         return t, next_cell, which, t  # ax/wall_coord unused
 
+    def closest_wall_distance(self, cell, x, y, z):
+        """Perpendicular distance to the nearest cell wall: radial shells
+        are exact; cones through the origin have perpendicular distance
+        r sin|theta - theta_w| in the meridian plane; phi half-planes have
+        w |sin(phi - phi_w)|."""
+        i1, i2, i3 = self.decode(cell)
+        r = jnp.sqrt(x * x + y * y + z * z)
+        big = jnp.asarray(jnp.finfo(x.dtype).max / 8, dtype=x.dtype)
+        d = jnp.minimum(jnp.maximum(r - self.rw[i1], 0.0),
+                        jnp.maximum(self.rw[i1 + 1] - r, 0.0))
+        cost = jnp.clip(z / jnp.maximum(r, 1e-300), -1.0, 1.0)
+        theta = jnp.arccos(cost)
+        tw_lo = jnp.arccos(jnp.clip(self.cos_tw[i2], -1.0, 1.0))
+        tw_up = jnp.arccos(jnp.clip(self.cos_tw[i2 + 1], -1.0, 1.0))
+        d_lo = jnp.where(self.theta_kind[i2] != 0,
+                         r * jnp.abs(jnp.sin(theta - tw_lo)), big)
+        d_up = jnp.where(self.theta_kind[i2 + 1] != 0,
+                         r * jnp.abs(jnp.sin(theta - tw_up)), big)
+        d = jnp.minimum(d, jnp.minimum(d_lo, d_up))
+        if self.n3 > 1:
+            w = jnp.sqrt(x * x + y * y)
+            phi = jnp.arctan2(y, x) % (2.0 * jnp.pi)
+            d_p1 = w * jnp.abs(jnp.sin(phi - self.phi_w[i3]))
+            d_p2 = w * jnp.abs(jnp.sin(self.phi_w[i3 + 1] - phi))
+            d = jnp.minimum(d, jnp.minimum(d_p1, d_p2))
+        return jnp.maximum(d, 0.0)
+
     def snap(self, x, y, z, ax, wall_coord, crossed):
         """No positional snapping for curved walls: the t_eps minimum
         crossing distance + authoritative cell index provide robustness."""

@@ -134,6 +134,7 @@ def run_lucy(geometry, dt, st, density, key, n_photons, n_iterations,
              minimum_specific_energy=None, check_convergence=False,
              convergence_absolute=0.0, convergence_relative=1.02,
              convergence_percentile=100.0, initial_specific_energy=None,
+             use_mrw=False, mrw_gamma=1.0, n_mrw_max=1000,
              verbose=True, iteration_callback=None):
     """Run the Lucy loop: n_iterations (or until converged).
 
@@ -153,6 +154,7 @@ def run_lucy(geometry, dt, st, density, key, n_photons, n_iterations,
     config_tuple = (('n_inter_max', int(n_inter_max)),
                     ('kill_on_scatter', bool(kill_on_scatter)),
                     ('kill_on_absorb', bool(kill_on_absorb)),
+                    ('n_mrw_max', int(n_mrw_max)),
                     ('max_steps', int(max_steps)))
 
     se_prev = None
@@ -165,10 +167,15 @@ def run_lucy(geometry, dt, st, density, key, n_photons, n_iterations,
     for it in range(1, n_iterations + 1):
         key, k_it = jax.random.split(key)
         jnu_var_id, jnu_var_frac = compute_jnu_var(dt, specific_energy)
+        mrw_tables = None
+        if use_mrw:
+            from .mrw import prepare_mrw_tables
+            mrw_tables = prepare_mrw_tables(dt, density, specific_energy,
+                                            mrw_gamma, dtype)
         energy_sum, energy_current, n_photons_cell, killed_int, killed_geo, \
             n_steps = run_lucy_iteration(
                 geometry, dt, st, density, jnu_var_id, jnu_var_frac, k_it,
-                n_photons, batch_size, config_tuple)
+                n_photons, batch_size, config_tuple, mrw=mrw_tables)
 
         # Host-side float64 for the combined scale; the engine works in
         # lengths of geometry.length_scale so ds carries one factor of L and

@@ -1,0 +1,97 @@
+"""Modified Random Walk (Min et al. 2009) diffusion acceleration
+(ref: src/grid/grid_mrw_3d.f90:29-204).
+
+When a packet sits deeper than gamma Rosseland-ish optical depths from the
+nearest wall (trigger: alpha_inv_planck * d_closest_wall > gamma), one MRW
+step replaces many scattering steps: the packet jumps to a random point on
+the sphere of radius R0 = d_closest_wall, deposits the diffusion path-length
+energy ct * kappa_planck * E, and re-emerges with an isotropic direction and
+a frequency drawn from the local reciprocal-Planck-weighted emissivity b_nu.
+
+The cumulative of Min+09 eq. (6), P(t) = 2 sum_n (-1)^(n+1) y^(n^2), is
+pre-tabulated on host (ref initialize_cumulative, grid_mrw_3d.f90:158-196)
+and inverted per lane with a shared-table interp.
+"""
+
+from typing import NamedTuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from .sampling import interp_loglog
+
+
+class MRWTables(NamedTuple):
+    # Per-cell reciprocal-Planck extinction (engine units, 1/length)
+    alpha_inv_planck: jnp.ndarray   # (n_cells,)
+    # Per-(dust, cell) Planck-mean absorption opacity at the cell temperature
+    kappa_planck: jnp.ndarray       # (n_dust, n_cells)
+    # Inverse-CDF table for the Min+09 diffusion time distribution
+    y_grid: jnp.ndarray             # (n,) P values ascending 0..1
+    x_grid: jnp.ndarray             # (n,) corresponding y arguments
+    gamma: jnp.ndarray              # trigger threshold (scalar)
+
+
+def _min09_cumulative(n=10000):
+    """Tabulate P(y) = 2 sum_{n>=1} (-1)^(n+1) y^(n^2) on y in [0, 1]."""
+    x = np.linspace(0.0, 1.0, n)
+    P = np.zeros(n)
+    for i, y in enumerate(x):
+        if y >= 1.0:
+            P[i] = 0.5
+            continue
+        total, j = 0.0, 0
+        while True:
+            j += 1
+            term = y ** (j * j)
+            if term == 0.0 or j > 10000:
+                break
+            total += term if j % 2 == 1 else -term
+        P[i] = total
+    P *= 2.0
+    P[-1] = 1.0
+    # The alternating series leaves ~1e-15 noise near y=1; enforce a clean
+    # monotone CDF for the interpolation-based inversion.
+    P = np.maximum.accumulate(np.clip(P, 0.0, 1.0))
+    return x, P
+
+
+_CUMULATIVE_CACHE = None
+
+
+def min09_cumulative():
+    global _CUMULATIVE_CACHE
+    if _CUMULATIVE_CACHE is None:
+        _CUMULATIVE_CACHE = _min09_cumulative()
+    return _CUMULATIVE_CACHE
+
+
+def prepare_mrw_tables(dt, density, specific_energy, gamma, dtype):
+    """Build per-cell MRW tables from the current specific energy
+    (ref: prepare_mrw + update_alpha_inv_planck, grid_mrw_3d.f90:29-54)."""
+    n_dust = dt.n_dust
+    alphas = []
+    kps = []
+    for d in range(n_dust):
+        e = jnp.clip(specific_energy[d], dt.me_specific_energy[d, 0],
+                     dt.me_specific_energy[d, -1])
+        chi_ip = interp_loglog(dt.me_specific_energy[d],
+                               dt.me_chi_inv_planck[d], e)
+        kp = interp_loglog(dt.me_specific_energy[d],
+                           dt.me_kappa_planck[d], e)
+        alphas.append(density[d] * chi_ip)
+        kps.append(kp)
+    x, P = min09_cumulative()
+    return MRWTables(
+        alpha_inv_planck=sum(alphas),
+        kappa_planck=jnp.stack(kps),
+        y_grid=jnp.asarray(P, dtype=dtype),
+        x_grid=jnp.asarray(x, dtype=dtype),
+        gamma=jnp.asarray(gamma, dtype=dtype))
+
+
+def sample_min09(tables, key, shape, dtype):
+    """Draw y from the Min+09 distribution by inverting the tabulated CDF."""
+    u = jax.random.uniform(key, shape, dtype=dtype)
+    return jnp.interp(u, tables.y_grid, tables.x_grid)
