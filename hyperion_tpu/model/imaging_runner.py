@@ -21,8 +21,6 @@ def run_imaging(model, out, geometry, dt, st, density, specific_energy,
         return
     if model._monochromatic:
         raise NotImplementedError("Monochromatic imaging is not yet supported")
-    if model.raytracing:
-        raise NotImplementedError("Raytracing is not yet supported")
 
     n_phot = model.n_photons.get('last')
     if n_phot is None:
@@ -38,28 +36,63 @@ def run_imaging(model, out, geometry, dt, st, density, specific_energy,
     if specific_energy is not None:
         se = jnp.asarray(specific_energy, dtype=dtype)
 
+    # With raytracing enabled, the MC imaging iteration only peels scattered
+    # light; direct + thermal emission comes from the raytracing pass
+    # (ref main.f90:272-302: do_final(peeloff_scattering_only=use_raytracing))
     accums, energy_current, stats = run_final(
         geometry, dt, st, density, se, groups, key, n_phot,
         batch_size=batch_size,
         n_inter_max=model.n_inter_max,
         kill_on_scatter=model.kill_on_scatter,
         kill_on_absorb=model.kill_on_absorb,
-        forced_first_interaction=model.forced_first_interaction)
+        forced_first_interaction=model.forced_first_interaction,
+        peeloff_scattering_only=model.raytracing)
 
     scale = float(st.energy_total) / max(energy_current, 1e-300)
+
+    ray_sed = ray_img = None
+    if model.raytracing:
+        from ..transport.raytrace import (build_raytrace_tables,
+                                          run_raytracing)
+        n_ray_src = model.n_photons.get('raytracing_sources', 0)
+        n_ray_dust = model.n_photons.get('raytracing_dust', 0)
+        dusts = model._dust_objects()
+        # all groups share the raytrace tables of the first group's
+        # frequency grid only if identical; build per group
+        ray_sed = [None] * len(groups)
+        ray_img = [None] * len(groups)
+        for gi, group in enumerate(groups):
+            rt, var_grids, nu_edges = build_raytrace_tables(
+                dusts, model.sources, dt, st, group,
+                se if se is not None else jnp.zeros_like(density),
+                density, geometry.volumes, dtype,
+                length_scale=geometry.length_scale)
+            key, k_ray = jax.random.split(key)
+            seds, imgs = run_raytracing(
+                geometry, dt, st, rt, var_grids, [group], density, k_ray,
+                n_ray_src, n_ray_dust, batch_size, dtype,
+                specific_energy=se if se is not None else
+                jnp.zeros_like(density))
+            ray_sed[gi] = seds[0]
+            ray_img[gi] = imgs[0]
 
     g_peeled = out.create_group('Peeled')
     for i, (conf, group, acc) in enumerate(zip(model.peeled_output, groups,
                                                accums)):
         g = g_peeled.create_group('group_%05i' % (i + 1))
-        write_peel_group(g, conf, group, acc, scale)
+        extra = None
+        if ray_sed is not None:
+            extra = (ray_sed[i], ray_img[i])
+        write_peel_group(g, conf, group, acc, scale, raytraced=extra)
 
     out.attrs['killed_photons_int_final'] = stats['killed_int']
     out.attrs['killed_photons_geo_final'] = 0
 
 
-def write_peel_group(g, conf, group, acc, scale):
-    """Normalize accumulators and write one peeled group."""
+def write_peel_group(g, conf, group, acc, scale, raytraced=None):
+    """Normalize accumulators and write one peeled group. ``raytraced``
+    optionally carries (sed, img) luminosity-per-bin arrays from the
+    raytracing pass, added before the dnunorm conversion."""
     from ..util.functions import bool2str
 
     n_nu = group.n_nu
@@ -78,7 +111,10 @@ def write_peel_group(g, conf, group, acc, scale):
     if group.compute_sed:
         # acc.sed: (n_view, n_ap, n_nu, n_orig) ->
         # on disk: (n_stokes, n_orig, n_view, n_ap, n_nu)
-        sed = np.asarray(acc.sed, dtype=np.float64) * scale / dnunorm
+        sed = np.asarray(acc.sed, dtype=np.float64) * scale
+        if raytraced is not None and raytraced[0] is not None:
+            sed = sed + raytraced[0]
+        sed = sed / dnunorm
         sed = sed.transpose(3, 0, 1, 2)[None, ...]
         sed = np.cumsum(sed, axis=3)  # cumulative apertures
         dset = g.create_dataset('seds', data=sed.astype(io_dtype),
@@ -100,7 +136,10 @@ def write_peel_group(g, conf, group, acc, scale):
     if group.compute_image:
         # acc.img: (n_view, n_y, n_x, n_nu, n_orig) ->
         # on disk: (n_stokes, n_orig, n_view, n_y, n_x, n_nu)
-        img = np.asarray(acc.img, dtype=np.float64) * scale / dnunorm
+        img = np.asarray(acc.img, dtype=np.float64) * scale
+        if raytraced is not None and raytraced[1] is not None:
+            img = img + raytraced[1]
+        img = img / dnunorm
         img = img.transpose(4, 0, 1, 2, 3)[None, ...]
         dset = g.create_dataset('images', data=img.astype(io_dtype),
                                 compression='gzip')
