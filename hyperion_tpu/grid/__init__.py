@@ -2,3 +2,4 @@ from .base import StructuredGrid, GridView  # noqa: F401
 from .cartesian_grid import CartesianGrid  # noqa: F401
 from .cylindrical_polar_grid import CylindricalPolarGrid  # noqa: F401
 from .spherical_polar_grid import SphericalPolarGrid  # noqa: F401
+from .octree_grid import OctreeGrid  # noqa: F401

@@ -117,6 +117,10 @@ class Model(FreezableClass, RunConf):
     def set_spherical_polar_grid(self, r_wall, t_wall, p_wall):
         self.set_grid(SphericalPolarGrid(r_wall, t_wall, p_wall))
 
+    def set_octree_grid(self, x, y, z, dx, dy, dz, refined):
+        from ..grid import OctreeGrid
+        self.set_grid(OctreeGrid(x, y, z, dx, dy, dz, refined))
+
     # -- density --------------------------------------------------------------
 
     def add_density_grid(self, density, dust, specific_energy=None,
@@ -346,8 +350,9 @@ class Model(FreezableClass, RunConf):
 
         # Grid
         grid_type = g['Grid/Geometry'].attrs['grid_type'].decode('ascii')
+        from ..grid import OctreeGrid
         grid_classes = {'car': CartesianGrid, 'cyl_pol': CylindricalPolarGrid,
-                        'sph_pol': SphericalPolarGrid}
+                        'sph_pol': SphericalPolarGrid, 'oct': OctreeGrid}
         if grid_type not in grid_classes:
             raise NotImplementedError("Grid type %s not yet supported"
                                       % grid_type)

@@ -32,6 +32,10 @@ def build_geometry_tables(grid, dtype):
     elif isinstance(grid, CylindricalPolarGrid):
         from ..transport.gtable_cylindrical import build_cylindrical_geometry
         return build_cylindrical_geometry(grid, dtype=dtype)
+    from ..grid import OctreeGrid
+    if isinstance(grid, OctreeGrid):
+        from ..transport.gtable_octree import build_octree_geometry
+        return build_octree_geometry(grid, dtype=dtype)
     raise NotImplementedError("Geometry not yet supported by the transport "
                               "engine: %s" % type(grid))
 
