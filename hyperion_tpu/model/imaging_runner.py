@@ -12,12 +12,10 @@ def run_imaging(model, out, geometry, dt, st, density, specific_energy,
                 batch_size, dtype):
     import jax
     import jax.numpy as jnp
-    from ..transport.imaging import build_peel_group, run_final
+    from ..transport.imaging import (build_peel_group, build_binned_group,
+                                     run_final)
 
-    if model.binned_output is not None:
-        raise NotImplementedError("Binned images are not yet supported by "
-                                  "the transport engine")
-    if not model.peeled_output:
+    if not model.peeled_output and model.binned_output is None:
         return
     if model._monochromatic:
         raise NotImplementedError("Monochromatic imaging is not yet supported")
@@ -30,6 +28,12 @@ def run_imaging(model, out, geometry, dt, st, density, specific_energy,
     groups = [build_peel_group(conf, dtype=dtype,
                                length_scale=geometry.length_scale)
               for conf in model.peeled_output]
+    binned_group = None
+    binned_dims = None
+    if model.binned_output is not None:
+        binned_group = build_binned_group(model.binned_output, dtype=dtype,
+                                          length_scale=geometry.length_scale)
+        binned_dims = (model.binned_output.n_theta, model.binned_output.n_phi)
 
     key = jax.random.PRNGKey((abs(model._seed) + 1) % (2 ** 31))
     se = None
@@ -39,14 +43,15 @@ def run_imaging(model, out, geometry, dt, st, density, specific_energy,
     # With raytracing enabled, the MC imaging iteration only peels scattered
     # light; direct + thermal emission comes from the raytracing pass
     # (ref main.f90:272-302: do_final(peeloff_scattering_only=use_raytracing))
-    accums, energy_current, stats = run_final(
+    accums, binned_acc, energy_current, stats = run_final(
         geometry, dt, st, density, se, groups, key, n_phot,
         batch_size=batch_size,
         n_inter_max=model.n_inter_max,
         kill_on_scatter=model.kill_on_scatter,
         kill_on_absorb=model.kill_on_absorb,
         forced_first_interaction=model.forced_first_interaction,
-        peeloff_scattering_only=model.raytracing)
+        peeloff_scattering_only=model.raytracing,
+        binned_group=binned_group, binned_dims=binned_dims)
 
     scale = float(st.energy_total) / max(energy_current, 1e-300)
 
@@ -85,6 +90,13 @@ def run_imaging(model, out, geometry, dt, st, density, specific_energy,
             extra = (ray_sed[i], ray_img[i])
         write_peel_group(g, conf, group, acc, scale, raytraced=extra)
 
+    if binned_group is not None:
+        # the binned datasets live directly under /Binned
+        # (ref ModelOutput.get_sed: g = self.file['Binned'])
+        g_binned = out.create_group('Binned')
+        write_peel_group(g_binned, model.binned_output, binned_group,
+                         binned_acc, scale)
+
     out.attrs['killed_photons_int_final'] = stats['killed_int']
     out.attrs['killed_photons_geo_final'] = 0
 
@@ -103,8 +115,11 @@ def write_peel_group(g, conf, group, acc, scale, raytraced=None):
               (nu_max / nu_min) ** (-0.5 / n_nu)
 
     g.attrs['inside_observer'] = bool2str(False)
-    g.attrs['d_min'] = -np.inf if conf.d_min is None else conf.d_min
-    g.attrs['d_max'] = +np.inf if conf.d_max is None else conf.d_max
+    # depth attributes only exist on peeled groups
+    d_min = getattr(conf, 'd_min', None)
+    d_max = getattr(conf, 'd_max', None)
+    g.attrs['d_min'] = -np.inf if d_min is None else d_min
+    g.attrs['d_max'] = +np.inf if d_max is None else d_max
 
     io_dtype = np.float32 if conf.io_bytes == 4 else np.float64
 

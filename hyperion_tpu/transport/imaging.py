@@ -115,6 +115,118 @@ def build_peel_group(conf, dtype=jnp.float32, length_scale=1.0):
         uncertainties=bool(conf.uncertainties), track_origin=track)
 
 
+def build_binned_group(conf, dtype=jnp.float32, length_scale=1.0):
+    """Build a PeelGroup-shaped spec for binned images: n_view =
+    n_theta * n_phi direction bins (ref: images_binned.f90:57-95). The view
+    direction arrays are unused — image axes are derived per photon from its
+    own exit direction."""
+    from ..util.constants import c
+    L = float(length_scale)
+    nu_min = c / (conf.wav_max * 1.e-4)
+    nu_max = c / (conf.wav_min * 1.e-4)
+    if conf.sed:
+        ap_min, ap_max = conf.ap_min / L, conf.ap_max / L
+        n_ap = conf.n_ap
+    else:
+        ap_min = ap_max = np.inf
+        n_ap = 1
+    track = conf.track_origin
+    if track not in ('no', 'basic'):
+        raise NotImplementedError("track_origin='%s' not yet supported" % track)
+    n_orig = 4 if track == 'basic' else 1
+    n_view = conf.n_theta * conf.n_phi
+    f = lambda v: jnp.asarray(v, dtype=dtype)
+    z3 = f(np.zeros((n_view, 3)))
+    return PeelGroup(
+        view_dir=z3, east=z3, north=z3, origin=f(np.zeros(3)),
+        xmin=f(conf.xmin / L if conf.image else 0.0),
+        xmax=f(conf.xmax / L if conf.image else 0.0),
+        ymin=f(conf.ymin / L if conf.image else 0.0),
+        ymax=f(conf.ymax / L if conf.image else 0.0),
+        log10_nu_min=f(np.log10(nu_min)), log10_nu_max=f(np.log10(nu_max)),
+        log10_ap_min=f(np.log10(ap_min) if np.isfinite(ap_min) else 300.0),
+        log10_ap_max=f(np.log10(ap_max) if np.isfinite(ap_max) else 300.0),
+        n_view=n_view, n_x=conf.n_x if conf.image else 1,
+        n_y=conf.n_y if conf.image else 1,
+        n_nu=conf.n_wav, n_ap=n_ap, n_orig=n_orig,
+        compute_image=bool(conf.image), compute_sed=bool(conf.sed),
+        uncertainties=bool(conf.uncertainties), track_origin=track)
+
+
+def bin_escaped(group, n_theta, n_phi, acc, x, y, z, kx, ky, kz, nu, energy,
+                orig_idx, escaped_mask, dtype):
+    """Bin escaping photons by their exit direction into the theta/phi
+    view cube (ref binned_images_bin_photon, images_binned.f90:57-95)."""
+    theta = jnp.arccos(jnp.clip(kz, -1.0, 1.0))
+    phi = jnp.arctan2(ky, kx) % (2.0 * jnp.pi)
+    it = jnp.clip((theta / jnp.pi * n_theta).astype(jnp.int32), 0, n_theta - 1)
+    ip = jnp.clip((phi / (2.0 * jnp.pi) * n_phi).astype(jnp.int32), 0,
+                  n_phi - 1)
+    iv = it * n_phi + ip
+
+    # image plane perpendicular to the photon's own direction
+    st_ = jnp.sqrt(jnp.maximum(kx * kx + ky * ky, 1e-30))
+    sp, cp = ky / st_, kx / st_
+    ct = jnp.clip(kz, -1.0, 1.0)
+    x_img = y * cp - x * sp
+    y_img = z * st_ - y * ct * sp - x * ct * cp
+
+    lognu = jnp.log10(nu)
+    fnu = (lognu - group.log10_nu_min) / (group.log10_nu_max -
+                                          group.log10_nu_min)
+    inu = jnp.floor(fnu * group.n_nu).astype(jnp.int32)
+    nu_ok = (inu >= 0) & (inu < group.n_nu)
+    inu = jnp.clip(inu, 0, group.n_nu - 1)
+    io = jnp.clip(orig_idx, 0, group.n_orig - 1) if group.n_orig > 1 else \
+        jnp.zeros_like(iv)
+    ok_base = escaped_mask & nu_ok & (energy > 0.0)
+
+    sed, sed2, sedn = acc.sed, acc.sed2, acc.sedn
+    img, img2, imgn = acc.img, acc.img2, acc.imgn
+    if group.compute_sed:
+        r_img = jnp.sqrt(x_img ** 2 + y_img ** 2)
+        logr = jnp.log10(jnp.maximum(r_img, 1e-300))
+        if group.n_ap == 1:
+            ir = jnp.zeros_like(iv)
+            ap_ok = jnp.ones_like(ok_base)
+        else:
+            fr = (logr - group.log10_ap_min) / \
+                 (group.log10_ap_max - group.log10_ap_min)
+            ir = jnp.floor(fr * (group.n_ap - 1)).astype(jnp.int32) + 1
+            ir = jnp.where(logr < group.log10_ap_min, 0, ir)
+            ap_ok = ir < group.n_ap
+            ir = jnp.clip(ir, 0, group.n_ap - 1)
+        ok = ok_base & ap_ok
+        idx = ((iv * group.n_ap + ir) * group.n_nu + inu) * group.n_orig + io
+        idx = jnp.where(ok, idx, sed.size)
+        val = jnp.where(ok, energy, 0.0)
+        sed = sed.reshape(-1).at[idx].add(val, mode='drop').reshape(sed.shape)
+        if group.uncertainties:
+            sed2 = sed2.reshape(-1).at[idx].add(val * val, mode='drop').reshape(sed2.shape)
+            sedn = sedn.reshape(-1).at[idx].add(
+                jnp.where(ok, 1.0, 0.0), mode='drop').reshape(sedn.shape)
+    if group.compute_image:
+        fx = (x_img - group.xmin) / (group.xmax - group.xmin)
+        fy = (y_img - group.ymin) / (group.ymax - group.ymin)
+        ix = jnp.floor(fx * group.n_x).astype(jnp.int32)
+        iy = jnp.floor(fy * group.n_y).astype(jnp.int32)
+        ok = ok_base & (ix >= 0) & (ix < group.n_x) & (iy >= 0) & \
+            (iy < group.n_y)
+        ix = jnp.clip(ix, 0, group.n_x - 1)
+        iy = jnp.clip(iy, 0, group.n_y - 1)
+        idx = (((iv * group.n_y + iy) * group.n_x + ix) * group.n_nu + inu) * \
+            group.n_orig + io
+        idx = jnp.where(ok, idx, img.size)
+        val = jnp.where(ok, energy, 0.0)
+        img = img.reshape(-1).at[idx].add(val, mode='drop').reshape(img.shape)
+        if group.uncertainties:
+            img2 = img2.reshape(-1).at[idx].add(val * val, mode='drop').reshape(img2.shape)
+            imgn = imgn.reshape(-1).at[idx].add(
+                jnp.where(ok, 1.0, 0.0), mode='drop').reshape(imgn.shape)
+    return PeelAccum(sed=sed, sed2=sed2, sedn=sedn, img=img, img2=img2,
+                     imgn=imgn)
+
+
 class PeelAccum(NamedTuple):
     sed: jnp.ndarray    # (n_view, n_ap, n_nu, n_orig)
     sed2: jnp.ndarray
@@ -312,8 +424,9 @@ class FinalPacketState(NamedTuple):
 
 
 def make_final_step(geometry, dt, st, density, jnu_var_id, jnu_var_frac,
-                    groups, config):
-    """While-loop body for the imaging iteration."""
+                    groups, config, binned=None):
+    """While-loop body for the imaging iteration. ``binned`` optionally is
+    (group_spec, n_theta, n_phi) for direction-binned images."""
     dtype = density.dtype
     n_cells = density.shape[1]
 
@@ -478,6 +591,18 @@ def make_final_step(geometry, dt, st, density, jnu_var_id, jnu_var_frac,
 
         alive = active & ~escaped & ~killed_now
 
+        # --- binned images: bin photons that escape the grid ---------------
+        binned_acc = carry.get('binned_acc')
+        if binned is not None:
+            bgroup, n_theta, n_phi = binned
+            orig_escape = jnp.where(
+                p.scattered,
+                jnp.where(p.reprocessed, ORIG_DUST_SCAT, ORIG_SOURCE_SCAT),
+                jnp.where(p.reprocessed, ORIG_DUST_EMIT, ORIG_SOURCE_EMIT))
+            binned_acc = bin_escaped(bgroup, n_theta, n_phi, binned_acc,
+                                     x, y, z, p.kx, p.ky, p.kz, p.nu,
+                                     p.energy, orig_escape, escaped, dtype)
+
         packets = FinalPacketState(
             x=x, y=y, z=z, kx=kx, ky=ky, kz=kz, nu=nu, energy=p.energy,
             cell=cell, tau=tau, n_inter=n_inter, alive=alive,
@@ -486,6 +611,7 @@ def make_final_step(geometry, dt, st, density, jnu_var_id, jnu_var_frac,
 
         return dict(packets=packets, key=key, budget=budget,
                     energy_current=energy_current, accums=accums,
+                    binned_acc=binned_acc,
                     killed_int=carry['killed_int'] +
                     jnp.sum(killed_now.astype(carry['killed_int'].dtype)),
                     n_steps=carry['n_steps'] + 1)
@@ -493,9 +619,10 @@ def make_final_step(geometry, dt, st, density, jnu_var_id, jnu_var_frac,
     return step
 
 
-@partial(jax.jit, static_argnames=('batch_size', 'config_tuple'))
+@partial(jax.jit, static_argnames=('batch_size', 'config_tuple', 'binned_dims'))
 def _run_final_jit(geometry, dt, st, density, jnu_var_id, jnu_var_frac,
-                   groups, key, n_photons, batch_size, config_tuple):
+                   groups, key, n_photons, batch_size, config_tuple,
+                   binned_group=None, binned_dims=None):
     config = dict(config_tuple)
     n_dust = dt.n_dust
     dtype = density.dtype
@@ -516,15 +643,21 @@ def _run_final_jit(geometry, dt, st, density, jnu_var_id, jnu_var_frac,
         albedo=zeros(B, n_dust))
 
     accums = [init_peel_accum(g, dtype) for g in groups]
+    binned = None
+    binned_acc = None
+    if binned_group is not None:
+        n_theta, n_phi = binned_dims
+        binned = (binned_group, n_theta, n_phi)
+        binned_acc = init_peel_accum(binned_group, dtype)
     carry = dict(packets=packets, key=key,
                  budget=jnp.asarray(n_photons, dtype=itype),
                  energy_current=jnp.asarray(0.0, dtype=dtype),
-                 accums=accums,
+                 accums=accums, binned_acc=binned_acc,
                  killed_int=jnp.asarray(0, dtype=itype),
                  n_steps=jnp.asarray(0, dtype=itype))
 
     step = make_final_step(geometry, dt, st, density, jnu_var_id,
-                           jnu_var_frac, groups, config)
+                           jnu_var_frac, groups, config, binned=binned)
     max_steps = config['max_steps']
 
     def cond(carry):
@@ -532,15 +665,15 @@ def _run_final_jit(geometry, dt, st, density, jnu_var_id, jnu_var_frac,
                (carry['n_steps'] < max_steps)
 
     carry = jax.lax.while_loop(cond, step, carry)
-    return (carry['accums'], carry['energy_current'], carry['killed_int'],
-            carry['n_steps'])
+    return (carry['accums'], carry['binned_acc'], carry['energy_current'],
+            carry['killed_int'], carry['n_steps'])
 
 
 def run_final(geometry, dt, st, density, specific_energy, groups, key,
               n_photons, batch_size=65536, n_inter_max=1000000,
               kill_on_scatter=False, kill_on_absorb=False,
               forced_first_interaction=True, peeloff_scattering_only=False,
-              max_steps=100000000):
+              max_steps=100000000, binned_group=None, binned_dims=None):
     """Run the imaging iteration; returns (accums, energy_current, stats)."""
     from .lucy import compute_jnu_var
     import jax.numpy as jnp_
@@ -555,8 +688,9 @@ def run_final(geometry, dt, st, density, specific_energy, groups, key,
                     ('forced_first_interaction', bool(forced_first_interaction)),
                     ('peeloff_scattering_only', bool(peeloff_scattering_only)),
                     ('max_steps', int(max_steps)))
-    accums, energy_current, killed_int, n_steps = _run_final_jit(
+    accums, binned_acc, energy_current, killed_int, n_steps = _run_final_jit(
         geometry, dt, st, density, jnu_var_id, jnu_var_frac, list(groups),
-        key, n_photons, batch_size, config_tuple)
-    return accums, float(energy_current), dict(killed_int=int(killed_int),
-                                               n_steps=int(n_steps))
+        key, n_photons, batch_size, config_tuple,
+        binned_group=binned_group, binned_dims=binned_dims)
+    return accums, binned_acc, float(energy_current), \
+        dict(killed_int=int(killed_int), n_steps=int(n_steps))
