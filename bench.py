@@ -11,6 +11,7 @@ update when a measured reference number is available.
 
 import argparse
 import json
+import os
 import sys
 import time
 
@@ -69,9 +70,13 @@ def main():
 
     t0 = time.time()
     out = run_lucy_iteration(geometry, dt, st, density, jid, jfrac,
-                             jax.random.PRNGKey(1), n_photons, batch, config)
+                             jax.random.PRNGKey(int(os.environ.get('BENCH_SEED', 1))), n_photons, batch, config)
     jax.block_until_ready(out)
     wall = time.time() - t0
+
+    # sanity: the run must actually have emitted the full budget
+    print("# diag: E=%g steps=%d wall=%.4fs" % (float(out[1]), int(out[5]),
+                                                wall), file=sys.stderr)
 
     rate = n_photons / wall
     print(json.dumps({
