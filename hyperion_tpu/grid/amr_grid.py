@@ -187,6 +187,14 @@ class AMRGridView(AMRGrid):
                     grid_in.quantities[quantity] = []
                 grid_out.quantities = {quantity: grid_in.quantities[quantity]}
 
+    @property
+    def n_pop(self):
+        for level in self.levels:
+            for grid in level.grids:
+                q = grid.quantities[self.viewed_quantity]
+                return len(q) if isinstance(q, (list, tuple)) else 1
+        return 0
+
     def append(self, amr_grid_view):
         """Append another view's arrays as a new population per fab."""
         for level_in, level_out in zip(amr_grid_view.levels, self.levels):

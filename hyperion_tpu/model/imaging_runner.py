@@ -17,17 +17,20 @@ def run_imaging(model, out, geometry, dt, st, density, specific_energy,
 
     if not model.peeled_output and model.binned_output is None:
         return
+
+    groups = [build_peel_group(conf, dtype=dtype,
+                               length_scale=geometry.length_scale)
+              for conf in model.peeled_output]
+
     if model._monochromatic:
-        raise NotImplementedError("Monochromatic imaging is not yet supported")
+        _run_imaging_mono(model, out, geometry, dt, st, density,
+                          specific_energy, groups, batch_size, dtype)
+        return
 
     n_phot = model.n_photons.get('last')
     if n_phot is None:
         raise Exception("imaging photon count has not been set "
                         "(set_n_photons(imaging=...))")
-
-    groups = [build_peel_group(conf, dtype=dtype,
-                               length_scale=geometry.length_scale)
-              for conf in model.peeled_output]
     binned_group = None
     binned_dims = None
     if model.binned_output is not None:
@@ -101,7 +104,45 @@ def run_imaging(model, out, geometry, dt, st, density, specific_energy,
     out.attrs['killed_photons_geo_final'] = 0
 
 
-def write_peel_group(g, conf, group, acc, scale, raytraced=None):
+def _run_imaging_mono(model, out, geometry, dt, st, density, specific_energy,
+                      groups, batch_size, dtype):
+    """Monochromatic imaging: exact-frequency source + dust passes
+    (ref: do_final_mono; dispatched from main.f90:272-274)."""
+    import jax
+    import jax.numpy as jnp
+    from ..transport.mono import run_mono
+
+    if model.raytracing:
+        raise NotImplementedError("Raytracing in monochromatic mode is not "
+                                  "yet supported")
+    n_src = model.n_photons.get('last_sources', 0)
+    n_dustp = model.n_photons.get('last_dust', 0)
+    se = None
+    if specific_energy is not None:
+        se = jnp.asarray(specific_energy, dtype=dtype)
+
+    key = jax.random.PRNGKey((abs(model._seed) + 3) % (2 ** 31))
+    accums, stats = run_mono(
+        geometry, dt, st, density, se, groups, key,
+        model._frequencies, n_src, n_dustp,
+        model.sources, model._dust_objects(),
+        batch_size=batch_size, n_inter_max=model.n_inter_max,
+        kill_on_scatter=model.kill_on_scatter,
+        forced_first_interaction=model.forced_first_interaction,
+        peeloff_scattering_only=False)
+
+    g_peeled = out.create_group('Peeled')
+    for i, (conf, group, acc) in enumerate(zip(model.peeled_output, groups,
+                                               accums)):
+        g = g_peeled.create_group('group_%05i' % (i + 1))
+        write_peel_group(g, conf, group, acc, 1.0,
+                         frequencies=np.asarray(model._frequencies, float))
+    out.attrs['killed_photons_int_final'] = stats['killed_int']
+    out.attrs['killed_photons_geo_final'] = 0
+
+
+def write_peel_group(g, conf, group, acc, scale, raytraced=None,
+                     frequencies=None):
     """Normalize accumulators and write one peeled group. ``raytraced``
     optionally carries (sed, img) luminosity-per-bin arrays from the
     raytracing pass, added before the dnunorm conversion."""
@@ -110,11 +151,21 @@ def write_peel_group(g, conf, group, acc, scale, raytraced=None):
     n_nu = group.n_nu
     nu_min = 10.0 ** float(group.log10_nu_min)
     nu_max = 10.0 ** float(group.log10_nu_max)
-    # F_nu*dnu -> nu*F_nu conversion factor (ref image_type.f90:624-658)
-    dnunorm = (nu_max / nu_min) ** (+0.5 / n_nu) - \
-              (nu_max / nu_min) ** (-0.5 / n_nu)
+    if group.monochromatic:
+        # exact frequencies: multiply each bin by nu (F_nu -> nu*F_nu,
+        # ref image_type.f90:678-683); the conversion happens via nu_norm
+        nu_norm = frequencies[group.iwav_min:group.iwav_min + n_nu]
+    else:
+        # F_nu*dnu -> nu*F_nu conversion factor (ref image_type.f90:624-658)
+        dnunorm = (nu_max / nu_min) ** (+0.5 / n_nu) - \
+                  (nu_max / nu_min) ** (-0.5 / n_nu)
+        nu_norm = None
 
     g.attrs['inside_observer'] = bool2str(False)
+    if group.monochromatic:
+        freq = np.zeros(n_nu, dtype=[('nu', float)])
+        freq['nu'] = nu_norm
+        g.create_dataset('frequencies', data=freq)
     # depth attributes only exist on peeled groups
     d_min = getattr(conf, 'd_min', None)
     d_max = getattr(conf, 'd_max', None)
@@ -129,24 +180,31 @@ def write_peel_group(g, conf, group, acc, scale, raytraced=None):
         sed = np.asarray(acc.sed, dtype=np.float64) * scale
         if raytraced is not None and raytraced[0] is not None:
             sed = sed + raytraced[0]
-        sed = sed / dnunorm
+        unc = np.sqrt(np.asarray(acc.sed2, dtype=np.float64)) * scale
+        if group.monochromatic:
+            sed = sed * nu_norm[None, None, :, None]
+            unc = unc * nu_norm[None, None, :, None]
+        else:
+            sed = sed / dnunorm
+            unc = unc / dnunorm
         sed = sed.transpose(3, 0, 1, 2)[None, ...]
         sed = np.cumsum(sed, axis=3)  # cumulative apertures
         dset = g.create_dataset('seds', data=sed.astype(io_dtype),
                                 compression='gzip')
-        dset.attrs['numin'] = nu_min
-        dset.attrs['numax'] = nu_max
+        if not group.monochromatic:
+            dset.attrs['numin'] = nu_min
+            dset.attrs['numax'] = nu_max
         dset.attrs['apmin'] = conf.ap_min
         dset.attrs['apmax'] = conf.ap_max
         dset.attrs['track_origin'] = np.bytes_(group.track_origin)
         if group.uncertainties:
-            unc = np.sqrt(np.asarray(acc.sed2, dtype=np.float64)) * scale / dnunorm
             unc = unc.transpose(3, 0, 1, 2)[None, ...]
             unc = np.sqrt(np.cumsum(unc ** 2, axis=3))
             d2 = g.create_dataset('seds_unc', data=unc.astype(io_dtype),
                                   compression='gzip')
-            d2.attrs['numin'] = nu_min
-            d2.attrs['numax'] = nu_max
+            if not group.monochromatic:
+                d2.attrs['numin'] = nu_min
+                d2.attrs['numax'] = nu_max
 
     if group.compute_image:
         # acc.img: (n_view, n_y, n_x, n_nu, n_orig) ->
@@ -154,21 +212,28 @@ def write_peel_group(g, conf, group, acc, scale, raytraced=None):
         img = np.asarray(acc.img, dtype=np.float64) * scale
         if raytraced is not None and raytraced[1] is not None:
             img = img + raytraced[1]
-        img = img / dnunorm
+        unc = np.sqrt(np.asarray(acc.img2, dtype=np.float64)) * scale
+        if group.monochromatic:
+            img = img * nu_norm[None, None, None, :, None]
+            unc = unc * nu_norm[None, None, None, :, None]
+        else:
+            img = img / dnunorm
+            unc = unc / dnunorm
         img = img.transpose(4, 0, 1, 2, 3)[None, ...]
         dset = g.create_dataset('images', data=img.astype(io_dtype),
                                 compression='gzip')
-        dset.attrs['numin'] = nu_min
-        dset.attrs['numax'] = nu_max
+        if not group.monochromatic:
+            dset.attrs['numin'] = nu_min
+            dset.attrs['numax'] = nu_max
         dset.attrs['xmin'] = conf.xmin
         dset.attrs['xmax'] = conf.xmax
         dset.attrs['ymin'] = conf.ymin
         dset.attrs['ymax'] = conf.ymax
         dset.attrs['track_origin'] = np.bytes_(group.track_origin)
         if group.uncertainties:
-            unc = np.sqrt(np.asarray(acc.img2, dtype=np.float64)) * scale / dnunorm
             unc = unc.transpose(4, 0, 1, 2, 3)[None, ...]
             d2 = g.create_dataset('images_unc', data=unc.astype(io_dtype),
                                   compression='gzip')
-            d2.attrs['numin'] = nu_min
-            d2.attrs['numax'] = nu_max
+            if not group.monochromatic:
+                d2.attrs['numin'] = nu_min
+                d2.attrs['numax'] = nu_max

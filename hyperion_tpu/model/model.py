@@ -121,6 +121,14 @@ class Model(FreezableClass, RunConf):
         from ..grid import OctreeGrid
         self.set_grid(OctreeGrid(x, y, z, dx, dy, dz, refined))
 
+    def set_amr_grid(self, description):
+        from ..grid import AMRGrid
+        self.set_grid(AMRGrid(description))
+
+    def set_voronoi_grid(self, x, y, z, **kwargs):
+        from ..grid import VoronoiGrid
+        self.set_grid(VoronoiGrid(x, y, z, **kwargs))
+
     # -- density --------------------------------------------------------------
 
     def add_density_grid(self, density, dust, specific_energy=None,
@@ -131,6 +139,24 @@ class Model(FreezableClass, RunConf):
         if self.grid is None:
             raise Exception("A coordinate system/grid has to be defined before "
                             "adding a density grid")
+
+        from ..grid import AMRGrid, AMRGridView
+        if isinstance(self.grid, AMRGrid) and not isinstance(self.grid,
+                                                             AMRGridView):
+            # AMR densities arrive as AMRGridView objects (per-fab arrays)
+            if not isinstance(density, AMRGridView):
+                raise ValueError("For AMR grids, density should be an "
+                                 "AMRGridView instance")
+            if 'density' not in self.grid:
+                self.dust = []
+            self.grid['density'].append(density)
+            self.dust.append(dust)
+            if specific_energy is not None:
+                if not isinstance(specific_energy, AMRGridView):
+                    raise ValueError("For AMR grids, specific_energy should "
+                                     "be an AMRGridView instance")
+                self.grid['specific_energy'].append(specific_energy)
+            return
 
         if isinstance(density, GridView):
             density = density.array

@@ -270,7 +270,8 @@ class ModelOutput(FreezableClass):
         including the derived 'temperature' quantity
         (ref model_output.py:975-1065)."""
         from ..grid import (CartesianGrid, CylindricalPolarGrid,
-                            SphericalPolarGrid)
+                            SphericalPolarGrid, OctreeGrid, VoronoiGrid,
+                            AMRGrid)
         from ..dust import SphericalDust
 
         n_iter = self._last_iteration()
@@ -283,26 +284,51 @@ class ModelOutput(FreezableClass):
         g_input = self.file['Input'] if 'Input' in self.file else self.file
         grid_type = asstr(g_input['Grid/Geometry'].attrs['grid_type'])
         grid_classes = {'car': CartesianGrid, 'cyl_pol': CylindricalPolarGrid,
-                        'sph_pol': SphericalPolarGrid}
+                        'sph_pol': SphericalPolarGrid, 'oct': OctreeGrid,
+                        'vor': VoronoiGrid, 'amr': AMRGrid}
         grid = grid_classes[grid_type]()
         grid.read_geometry(g_input['Grid/Geometry'])
 
-        for quantity in g_iter:
-            arr = np.array(g_iter[quantity])
-            if arr.ndim == 4:
-                grid.quantities[quantity] = [arr[i] for i in range(arr.shape[0])]
-            else:
-                grid.quantities[quantity] = arr
+        if grid_type == 'amr':
+            # iteration groups hold level_*/grid_* datasets
+            for ilevel, level in enumerate(grid.levels):
+                g_level = g_iter['level_%05i' % (ilevel + 1)]
+                for igrid, fab in enumerate(level.grids):
+                    g_fab = g_level['grid_%05i' % (igrid + 1)]
+                    for quantity in g_fab:
+                        arr = np.array(g_fab[quantity])
+                        if arr.ndim == 4:
+                            fab.quantities[quantity] = [
+                                arr[i] for i in range(arr.shape[0])]
+                        else:
+                            fab.quantities[quantity] = arr
+        else:
+            for quantity in g_iter:
+                arr = np.array(g_iter[quantity])
+                if arr.ndim > len(grid.shape):
+                    grid.quantities[quantity] = [arr[i]
+                                                 for i in range(arr.shape[0])]
+                else:
+                    grid.quantities[quantity] = arr
 
         # Derived temperature from specific energy via the dust model
-        if 'specific_energy' in grid.quantities and 'Dust' in g_input:
+        if 'Dust' in g_input:
             dusts = [SphericalDust(g_input['Dust'][name])
                      for name in sorted(g_input['Dust'])]
-            temperature = []
-            for i, d in enumerate(dusts):
-                temperature.append(d.specific_energy2temperature(
-                    grid.quantities['specific_energy'][i]))
-            grid.quantities['temperature'] = temperature
+            if grid_type == 'amr':
+                for level in grid.levels:
+                    for fab in level.grids:
+                        if 'specific_energy' not in fab.quantities:
+                            continue
+                        fab.quantities['temperature'] = [
+                            d.specific_energy2temperature(
+                                fab.quantities['specific_energy'][i])
+                            for i, d in enumerate(dusts)]
+            elif 'specific_energy' in grid.quantities:
+                grid.quantities['temperature'] = [
+                    d.specific_energy2temperature(
+                        grid.quantities['specific_energy'][i])
+                    for i, d in enumerate(dusts)]
 
         return grid
 

@@ -32,30 +32,86 @@ def build_geometry_tables(grid, dtype):
     elif isinstance(grid, CylindricalPolarGrid):
         from ..transport.gtable_cylindrical import build_cylindrical_geometry
         return build_cylindrical_geometry(grid, dtype=dtype)
-    from ..grid import OctreeGrid
+    from ..grid import OctreeGrid, AMRGrid, VoronoiGrid
     if isinstance(grid, OctreeGrid):
         from ..transport.gtable_octree import build_octree_geometry
         return build_octree_geometry(grid, dtype=dtype)
+    if isinstance(grid, AMRGrid):
+        from ..transport.gtable_amr import build_amr_geometry
+        return build_amr_geometry(grid, dtype=dtype)
+    if isinstance(grid, VoronoiGrid):
+        from ..transport.gtable_voronoi import build_voronoi_geometry
+        return build_voronoi_geometry(grid, dtype=dtype)
     raise NotImplementedError("Geometry not yet supported by the transport "
                               "engine: %s" % type(grid))
+
+
+def _flatten_quantity(grid, quantity):
+    """Per-dust quantity arrays -> (n_dust, n_cells) float64, handling the
+    AMR per-fab layout (fabs flattened level-major, matching
+    gtable_amr.build_amr_geometry)."""
+    from ..grid import AMRGrid
+    if isinstance(grid, AMRGrid):
+        n_pop = None
+        for level in grid.levels:
+            for g in level.grids:
+                q = g.quantities[quantity]
+                n_pop = len(q) if isinstance(q, list) else 1
+                break
+            break
+        rows = []
+        for i in range(n_pop):
+            parts = []
+            for level in grid.levels:
+                for g in level.grids:
+                    q = g.quantities[quantity]
+                    arr = q[i] if isinstance(q, list) else q
+                    parts.append(np.asarray(arr, float).reshape(-1))
+            rows.append(np.concatenate(parts))
+        return np.array(rows)
+    q = grid.quantities[quantity]
+    return np.array([np.asarray(d, float).reshape(-1) for d in q])
 
 
 def _density_array(model, dtype, length_scale):
     """Flatten per-dust densities to (n_dust, n_cells) in ENGINE units:
     multiplied by the geometry length scale so chi*rho*ds is scale-free."""
     import jax.numpy as jnp
-    density = model.grid.quantities['density']
-    arr = np.array([np.asarray(d, float).reshape(-1) for d in density])
+    arr = _flatten_quantity(model.grid, 'density')
     return jnp.asarray(arr * length_scale, dtype=dtype)
 
 
 def _initial_specific_energy(model, n_dust, n_cells, dtype):
     import jax.numpy as jnp
     if 'specific_energy' in model.grid:
-        se = model.grid.quantities['specific_energy']
-        arr = np.array([np.asarray(s, float).reshape(-1) for s in se])
+        arr = _flatten_quantity(model.grid, 'specific_energy')
         return jnp.asarray(arr, dtype=dtype)
     return None
+
+
+def _write_grid_dataset(group, name, flat, model_grid, compression='gzip'):
+    """Write a flat (n_cells,) or (n_dust, n_cells) array back in the
+    grid's on-disk layout (structured: (ndust, n3, n2, n1); AMR: per
+    level_*/grid_* datasets; voronoi/octree: flat)."""
+    from ..grid import AMRGrid
+    flat = np.asarray(flat)
+    if isinstance(model_grid, AMRGrid):
+        pos = 0
+        for ilevel, level in enumerate(model_grid.levels):
+            g_level = group.require_group('level_%05i' % (ilevel + 1))
+            for igrid, g in enumerate(level.grids):
+                g_grid = g_level.require_group('grid_%05i' % (igrid + 1))
+                n = g.nx * g.ny * g.nz
+                block = flat[..., pos:pos + n]
+                shape = flat.shape[:-1] + (g.nz, g.ny, g.nx)
+                g_grid.create_dataset(name, data=block.reshape(shape),
+                                      compression=compression)
+                pos += n
+        return
+    shape = model_grid.shape
+    if shape is not None and len(shape) > 1:
+        flat = flat.reshape(flat.shape[:-1] + shape)
+    group.create_dataset(name, data=flat, compression=compression)
 
 
 def run_model(model, filename, batch_size=None, dtype=None, parallel=False):
@@ -126,7 +182,6 @@ def run_model(model, filename, batch_size=None, dtype=None, parallel=False):
     out.attrs['date_started'] = np.bytes_(
         datetime.datetime.now().isoformat())
 
-    shape = model.grid.shape
     n_iter_done = len(iterations)
     oc = model.conf.output
 
@@ -138,17 +193,13 @@ def run_model(model, filename, batch_size=None, dtype=None, parallel=False):
             return setting == 'all' or (setting == 'last' and last)
 
         if want(oc.output_specific_energy):
-            g.create_dataset('specific_energy',
-                             data=itdata['specific_energy'].reshape((-1,) + shape),
-                             compression='gzip')
+            _write_grid_dataset(g, 'specific_energy',
+                                itdata['specific_energy'], model.grid)
         if want(oc.output_density):
-            g.create_dataset('density',
-                             data=itdata['density'].reshape((-1,) + shape),
-                             compression='gzip')
+            _write_grid_dataset(g, 'density', itdata['density'], model.grid)
         if want(oc.output_n_photons):
-            g.create_dataset('n_photons',
-                             data=itdata['n_photons'].reshape(shape),
-                             compression='gzip')
+            _write_grid_dataset(g, 'n_photons', itdata['n_photons'],
+                                model.grid)
         if result is not None:
             g.attrs['killed_photons_geo'] = result.killed_geo
             g.attrs['killed_photons_int'] = result.killed_int

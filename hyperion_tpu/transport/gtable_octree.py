@@ -117,6 +117,14 @@ class OctreeGeometry:
     def snap(self, x, y, z, ax, wall_coord, crossed):
         return x, y, z
 
+    def random_position_in_cell(self, cell, key, dtype):
+        u = jax.random.uniform(key, (3,) + cell.shape, dtype=dtype,
+                               minval=-1.0, maxval=1.0)
+        c = self.centers[cell]
+        h = self.halves[cell]
+        return (c[:, 0] + u[0] * h[:, 0], c[:, 1] + u[1] * h[:, 1],
+                c[:, 2] + u[2] * h[:, 2])
+
 
 def build_octree_geometry(grid, dtype=jnp.float32):
     """Build device tables from an OctreeGrid."""

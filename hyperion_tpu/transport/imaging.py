@@ -62,6 +62,10 @@ class PeelGroup:
     compute_sed: bool = field(metadata=dict(static=True))
     uncertainties: bool = field(metadata=dict(static=True))
     track_origin: str = field(metadata=dict(static=True))
+    # Monochromatic mode: frequency bins are *indices* into the model's
+    # exact-frequency list (ref image_type.f90 monochromatic binning)
+    monochromatic: bool = field(default=False, metadata=dict(static=True))
+    iwav_min: int = field(default=0, metadata=dict(static=True))
 
 
 def build_peel_group(conf, dtype=jnp.float32, length_scale=1.0):
@@ -80,10 +84,12 @@ def build_peel_group(conf, dtype=jnp.float32, length_scale=1.0):
     origin = np.asarray(conf.peeloff_origin or (0.0, 0.0, 0.0), float) / L
 
     if conf._monochromatic:
-        raise NotImplementedError("Monochromatic peeloff is handled by the "
-                                  "monochromatic iteration")
-    nu_min = c / (conf.wav_max * 1.e-4)
-    nu_max = c / (conf.wav_min * 1.e-4)
+        n_nu = conf.iwav_max - conf.iwav_min + 1
+        nu_min, nu_max = 1.0, 10.0  # unused: bins are frequency indices
+    else:
+        nu_min = c / (conf.wav_max * 1.e-4)
+        nu_max = c / (conf.wav_min * 1.e-4)
+        n_nu = conf.n_wav
 
     if conf.sed:
         ap_min, ap_max = conf.ap_min / L, conf.ap_max / L
@@ -110,9 +116,11 @@ def build_peel_group(conf, dtype=jnp.float32, length_scale=1.0):
         n_view=len(conf.viewing_angles),
         n_x=conf.n_x if conf.image else 1,
         n_y=conf.n_y if conf.image else 1,
-        n_nu=conf.n_wav, n_ap=n_ap, n_orig=n_orig,
+        n_nu=n_nu, n_ap=n_ap, n_orig=n_orig,
         compute_image=bool(conf.image), compute_sed=bool(conf.sed),
-        uncertainties=bool(conf.uncertainties), track_origin=track)
+        uncertainties=bool(conf.uncertainties), track_origin=track,
+        monochromatic=bool(conf._monochromatic),
+        iwav_min=int(conf.iwav_min or 0) if conf._monochromatic else 0)
 
 
 def build_binned_group(conf, dtype=jnp.float32, length_scale=1.0):
@@ -308,11 +316,14 @@ def eval_phase_peel(dt, dust_id, nu, mu):
 
 def peel_and_bin(geometry, dt, density, groups, accums, p_x, p_y, p_z,
                  chi_rows, cell, nu, energy, weight_iso, is_scatter, dust_id,
-                 k_in_x, k_in_y, k_in_z, orig_idx, active, dtype):
+                 k_in_x, k_in_y, k_in_z, orig_idx, active, dtype,
+                 inu_global=None):
     """For every group and view: compute peel weight, escape tau, and bin.
 
     weight_iso: weight for isotropic events (1); scattering events use the
     phase function at the angle between the incoming direction and the view.
+    inu_global: in monochromatic mode, the exact-frequency index of every
+    lane (scalar or (B,)); frequency bins are indices, not log bins.
     """
     new_accums = []
     for group, acc in zip(groups, accums):
@@ -339,10 +350,15 @@ def peel_and_bin(geometry, dt, density, groups, accums, p_x, p_y, p_z,
             y_img = dx * n[0] + dy * n[1] + dz * n[2]
 
             # frequency bin
-            lognu = jnp.log10(nu)
-            fnu = (lognu - group.log10_nu_min) / \
-                  (group.log10_nu_max - group.log10_nu_min)
-            inu = jnp.floor(fnu * group.n_nu).astype(jnp.int32)
+            if group.monochromatic:
+                inu = jnp.broadcast_to(
+                    jnp.asarray(inu_global, jnp.int32) - group.iwav_min,
+                    cell.shape)
+            else:
+                lognu = jnp.log10(nu)
+                fnu = (lognu - group.log10_nu_min) / \
+                      (group.log10_nu_max - group.log10_nu_min)
+                inu = jnp.floor(fnu * group.n_nu).astype(jnp.int32)
             nu_ok = (inu >= 0) & (inu < group.n_nu)
             inu = jnp.clip(inu, 0, group.n_nu - 1)
 

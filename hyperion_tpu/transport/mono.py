@@ -1,0 +1,498 @@
+"""Monochromatic (exact-frequency) imaging iteration.
+
+TPU-native re-design of the reference's monochromatic algorithm
+(ref: src/main/iter_final_mono.f90:58-343 + src/grid/grid_monochromatic.f90:
+50-176): for each requested frequency, two passes run —
+
+1. **Source photons**: emitted from the sources with the usual position/
+   direction recipes but at the exact frequency; the packet energy is the
+   source's normalized spectral PDF at that frequency times the total
+   luminosity (ref source_emit, source_type.f90:441-476 and the
+   ``p%energy = p%energy * energy_total`` scaling in source.f90:162).
+2. **Dust photons**: cells are sampled from a per-dust discrete PDF
+   proportional to j_nu(nu; E_cell) * E_abs(cell) (ref
+   setup_monochromatic_grid_pdfs) and photons leave isotropically from a
+   random position in the cell.
+
+Both passes propagate with *forced scattering*: every interaction scatters
+and multiplies the energy by the albedo; packets die when their energy
+drops below ``monochromatic_energy_threshold`` of the initial value
+(ref iter_final_mono.f90:335-338). Peeloff happens at emission and at every
+scattering, binning into the frequency-INDEX axis of the image cubes.
+
+The device kernel is compiled once; the host loops over frequencies feeding
+(nu, per-row source energies | per-cell CDFs) as traced arguments.
+"""
+
+from functools import partial
+from typing import NamedTuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from .gtable import ESCAPED
+from .sampling import (isotropic_direction, random_exp, rotate_direction,
+                       sample_cdf_rows2)
+from .engine import select_dust, sample_scattering_mu
+from .imaging import (peel_and_bin, escape_tau_walk, init_peel_accum,
+                      ORIG_SOURCE_EMIT, ORIG_DUST_EMIT, ORIG_SOURCE_SCAT,
+                      ORIG_DUST_SCAT)
+
+
+# ---------------------------------------------------------------------------
+# Host-side per-frequency setup
+# ---------------------------------------------------------------------------
+
+def source_mono_energies(sources, frequencies):
+    """(n_rows, n_freq) spectral-PDF values per expanded source row
+    (rows match build_source_tables' PointSourceCollection expansion).
+
+    Tabulated spectra: fnu / integral(fnu dnu) interpolated at nu, 0 outside
+    (ref interpolate_pdf with fill_value=0). Blackbodies:
+    pi * B_nu / (sigma T^4) (ref normalized_B_nu, source_type.f90:1088).
+    """
+    from ..util.constants import sigma, pi
+    from ..util.functions import B_nu
+    from ..util.integrate import integrate_loglog
+    from ..sources import PointSourceCollection
+
+    frequencies = np.asarray(frequencies, float)
+
+    def one(s):
+        if s.spectrum is not None:
+            nu = np.asarray(s.spectrum['nu'], float)
+            fnu = np.asarray(s.spectrum['fnu'], float)
+            norm = integrate_loglog(nu, fnu)
+            pdf = np.interp(frequencies, nu, fnu / norm, left=0.0, right=0.0)
+            return pdf
+        elif s.temperature is not None:
+            return pi * B_nu(frequencies, s.temperature) / \
+                (sigma * s.temperature ** 4)
+        raise ValueError("LTE-spectrum sources are not supported in "
+                         "monochromatic mode")
+
+    rows = []
+    for s in sources:
+        p = one(s)
+        if isinstance(s, PointSourceCollection):
+            rows.extend([p] * s.position.shape[0])
+        else:
+            rows.append(p)
+    return np.asarray(rows)
+
+
+def dust_mono_cell_pdfs(dusts, density, volumes, specific_energy,
+                        frequencies):
+    """Per-(dust, frequency) discrete cell CDFs for thermal emission.
+
+    weight(cell) = prob_nu(cell) * E_abs(cell), with prob_nu the normalized
+    j_nu PDF value at nu, log10-interpolated between the cell's bracketing
+    specific-energy bins (ref dust_sample_emit_probability,
+    dust_type_4elem.f90:356-375; setup_monochromatic_grid_pdfs).
+
+    Returns (cell_cdf (n_freq, n_dust, n_cells), mean_prob (n_freq, n_dust),
+    energy_abs_tot (n_dust,)). All numpy float64 host arrays.
+    """
+    from ..util.integrate import integrate_loglog
+
+    frequencies = np.asarray(frequencies, float)
+    density = np.asarray(density, float)
+    volumes = np.asarray(volumes, float)
+    specific_energy = np.asarray(specific_energy, float)
+    n_dust, n_cells = density.shape
+    n_freq = len(frequencies)
+
+    cell_cdf = np.zeros((n_freq, n_dust, n_cells))
+    mean_prob = np.zeros((n_freq, n_dust))
+    energy_abs_tot = np.zeros(n_dust)
+
+    for d_id, d in enumerate(dusts):
+        em = d.emissivities
+        enu = np.asarray(em.nu, float)
+        jnu = np.asarray(em.jnu, float)          # (n_enu, n_var)
+        var = np.asarray(em.var, float)
+        # normalized PDF per var bin
+        norms = np.array([integrate_loglog(enu, jnu[:, i])
+                          for i in range(jnu.shape[1])])
+        pdf = jnu / np.maximum(norms[None, :], 1e-300)
+
+        e = specific_energy[d_id]
+        E_abs = e * density[d_id] * volumes
+        energy_abs_tot[d_id] = E_abs.sum()
+        if energy_abs_tot[d_id] <= 0:
+            continue
+
+        # locate var bins (same rule as compute_jnu_var)
+        i = np.clip(np.searchsorted(var, e, side='right') - 1, 0,
+                    len(var) - 2)
+        with np.errstate(divide='ignore', invalid='ignore'):
+            frac = (np.log10(np.maximum(e, 1e-300)) - np.log10(var[i])) / \
+                   (np.log10(var[i + 1]) - np.log10(var[i]))
+        below, above = e < var[0], e > var[-1]
+        i = np.where(below, 0, np.where(above, len(var) - 2, i))
+        frac = np.clip(np.where(below, 0.0, np.where(above, 1.0, frac)),
+                       0.0, 1.0)
+
+        for f_id, nu in enumerate(frequencies):
+            # PDF value at nu per var bin, then per-cell log interp
+            pdf_at_nu = np.array([np.interp(nu, enu, pdf[:, v],
+                                            left=0.0, right=0.0)
+                                  for v in range(pdf.shape[1])])
+            prob1 = pdf_at_nu[i]
+            prob2 = pdf_at_nu[np.minimum(i + 1, pdf.shape[1] - 1)]
+            with np.errstate(divide='ignore'):
+                prob = np.where(
+                    (prob1 > 0) & (prob2 > 0),
+                    10.0 ** (np.log10(np.maximum(prob1, 1e-300)) + frac *
+                             (np.log10(np.maximum(prob2, 1e-300)) -
+                              np.log10(np.maximum(prob1, 1e-300)))),
+                    0.0)
+            w = prob * E_abs
+            mean_prob[f_id, d_id] = w.mean() * n_cells / \
+                max(energy_abs_tot[d_id], 1e-300)
+            tot = w.sum()
+            if tot > 0:
+                cell_cdf[f_id, d_id] = np.cumsum(w) / tot
+                cell_cdf[f_id, d_id, -1] = 1.0
+    return cell_cdf, mean_prob, energy_abs_tot
+
+
+# ---------------------------------------------------------------------------
+# Device kernel (compiled once; looped over frequencies on host)
+# ---------------------------------------------------------------------------
+
+class MonoPacketState(NamedTuple):
+    x: jnp.ndarray
+    y: jnp.ndarray
+    z: jnp.ndarray
+    kx: jnp.ndarray
+    ky: jnp.ndarray
+    kz: jnp.ndarray
+    energy: jnp.ndarray
+    energy_initial: jnp.ndarray
+    cell: jnp.ndarray
+    tau: jnp.ndarray
+    n_inter: jnp.ndarray
+    alive: jnp.ndarray
+    reprocessed: jnp.ndarray
+    scattered: jnp.ndarray
+
+
+def _make_mono_step(geometry, dt, st, density, groups, config, mode,
+                    nu_value, inu_global, chi_vec, albedo_vec, src_energy,
+                    cell_cdf, mean_prob):
+    """mode: 'source' | 'dust' (static). All lanes share one frequency, so
+    per-dust chi/albedo are scalars (chi_vec/albedo_vec: (n_dust,))."""
+    dtype = density.dtype
+    n_dust = density.shape[0]
+    n_cells = density.shape[1]
+    ffi = config['forced_first_interaction']
+    threshold = config['energy_threshold']
+    peeloff_scattering_only = config['peeloff_scattering_only']
+
+    from .stable import emit_packets
+    from .raytrace import sample_position_in_cell
+
+    def chi_rows_of(B):
+        return jnp.broadcast_to(chi_vec[None, :], (B, n_dust))
+
+    def step(carry):
+        p = carry['packets']
+        key, k_e, k_tau, k_ffi, k_dust, k_mu, k_phi, k_tau2, k_pos, k_dir, \
+            k_cell = jax.random.split(carry['key'], 11)
+        B = p.x.shape[0]
+
+        # ---- refill ---------------------------------------------------------
+        dead = ~p.alive
+        rank = jnp.cumsum(dead.astype(carry['budget'].dtype))
+        can = dead & (rank <= carry['budget'])
+        n_new = jnp.sum(can.astype(carry['budget'].dtype))
+
+        if mode == 'source':
+            new = emit_packets(st, k_e, B, dtype)
+            nx, ny, nz = new['x'], new['y'], new['z']
+            nkx, nky, nkz = new['kx'], new['ky'], new['kz']
+            e_new = src_energy[new['source']]
+            orig_emit = ORIG_SOURCE_EMIT
+            reproc_new = jnp.zeros((B,), dtype=bool)
+        else:
+            # uniform dust pick, cell from the per-dust CDF
+            ud = jax.random.uniform(k_dust, (B,), dtype=dtype)
+            d_pick = jnp.clip((ud * n_dust).astype(jnp.int32), 0, n_dust - 1)
+            uc = jax.random.uniform(k_cell, (B,), dtype=dtype)
+            # per-dust searchsorted (n_dust is small and static; avoids a
+            # (B, n_cells) gather of CDF rows)
+            cell_pick = jnp.zeros((B,), dtype=jnp.int32)
+            for d in range(cell_cdf.shape[0]):
+                idx_d = jnp.searchsorted(cell_cdf[d], uc,
+                                         side='left').astype(jnp.int32)
+                cell_pick = jnp.where(d_pick == d, idx_d, cell_pick)
+            cell_pick = jnp.clip(cell_pick, 0, n_cells - 1)
+            nx, ny, nz = sample_position_in_cell(geometry, cell_pick, k_pos,
+                                                 dtype)
+            nkx, nky, nkz = isotropic_direction(k_dir, (B,), dtype)
+            e_new = mean_prob[d_pick]
+            orig_emit = ORIG_DUST_EMIT
+            reproc_new = jnp.ones((B,), dtype=bool)
+
+        cell_new = geometry.find_cell(nx, ny, nz, nkx, nky, nkz) \
+            if mode == 'source' else cell_pick
+        emitted = can & (cell_new != ESCAPED) & (e_new > 0.0)
+
+        m = lambda old, new_: jnp.where(can, new_, old)
+        chi_rows = chi_rows_of(B)
+
+        # WR99/Baes16 FFI for new lanes (ref iter_final_mono.f90:253-270)
+        if ffi:
+            tau_esc = escape_tau_walk(geometry, density, chi_rows,
+                                      nx, ny, nz, nkx, nky, nkz,
+                                      cell_new, emitted)
+            w_ffi = -jnp.expm1(-tau_esc)
+            xi = jax.random.uniform(k_ffi, (B,), dtype=dtype)
+            tau_new = -jnp.log1p(-xi * w_ffi)
+            applies = tau_esc > 1e-10
+            e_ffi = jnp.where(applies, e_new * w_ffi, e_new)
+            tau_new = jnp.where(applies, tau_new,
+                                random_exp(k_tau, (B,), dtype))
+        else:
+            e_ffi = e_new
+            tau_new = random_exp(k_tau, (B,), dtype)
+
+        packets = MonoPacketState(
+            x=m(p.x, nx), y=m(p.y, ny), z=m(p.z, nz),
+            kx=m(p.kx, nkx), ky=m(p.ky, nky), kz=m(p.kz, nkz),
+            energy=m(p.energy, e_ffi),
+            energy_initial=m(p.energy_initial, e_new),
+            cell=jnp.where(can, cell_new, p.cell),
+            tau=m(p.tau, tau_new),
+            n_inter=jnp.where(can, 0, p.n_inter),
+            alive=p.alive | emitted,
+            reprocessed=jnp.where(can, reproc_new, p.reprocessed),
+            scattered=jnp.where(can, False, p.scattered))
+
+        accums = carry['accums']
+        if not peeloff_scattering_only:
+            # emission peeloff with the PRE-FFI energy (ref peels before
+            # the forced interaction reweight)
+            accums = peel_and_bin(
+                geometry, dt, density, groups, accums,
+                packets.x, packets.y, packets.z, chi_rows, packets.cell,
+                jnp.full((B,), nu_value, dtype=dtype),
+                jnp.where(emitted, e_new, 0.0),
+                jnp.ones((B,), dtype=dtype), jnp.zeros((B,), dtype=bool),
+                jnp.zeros((B,), dtype=jnp.int32),
+                packets.kx, packets.ky, packets.kz,
+                jnp.full((B,), orig_emit, dtype=jnp.int32),
+                emitted, dtype, inu_global=inu_global)
+
+        p = packets
+        budget = carry['budget'] - n_new
+
+        # ---- propagate ------------------------------------------------------
+        active = p.alive
+        cell_safe = jnp.where(p.cell >= 0, p.cell, 0)
+        t_wall, next_cell, ax, wall_coord = geometry.find_wall(
+            cell_safe, p.x, p.y, p.z, p.kx, p.ky, p.kz)
+        rho_rows = density[:, cell_safe].T
+        chi_rho = jnp.sum(chi_rows * rho_rows, axis=-1)
+        tau_wall = chi_rho * t_wall
+        hits_wall = (tau_wall < p.tau) | (chi_rho <= 0.0)
+        t_int = jnp.where(chi_rho > 0.0, p.tau / jnp.maximum(chi_rho, 1e-300),
+                          t_wall)
+        d_move = jnp.where(hits_wall, t_wall, t_int)
+
+        x = p.x + d_move * p.kx
+        y = p.y + d_move * p.ky
+        z = p.z + d_move * p.kz
+        x, y, z = geometry.snap(x, y, z, ax, wall_coord, active & hits_wall)
+        tau = jnp.where(hits_wall, p.tau - tau_wall, jnp.zeros_like(p.tau))
+        cell = jnp.where(active & hits_wall, next_cell, p.cell)
+        escaped_now = active & hits_wall & (cell == ESCAPED)
+
+        # ---- forced scattering (ref interact(force_scatter=.true.)) --------
+        interacting = active & ~hits_wall
+        d_sel = select_dust(k_dust, chi_rows, rho_rows)
+        energy = jnp.where(interacting, p.energy * albedo_vec[d_sel],
+                           p.energy)
+        mu_s = sample_scattering_mu(dt, d_sel,
+                                    jnp.full_like(p.x, nu_value), k_mu)
+        phi_s = jax.random.uniform(k_phi, (B,), dtype=dtype,
+                                   maxval=2 * jnp.pi)
+        sx, sy, sz = rotate_direction(p.kx, p.ky, p.kz, mu_s, phi_s)
+        kx = jnp.where(interacting, sx, p.kx)
+        ky = jnp.where(interacting, sy, p.ky)
+        kz = jnp.where(interacting, sz, p.kz)
+
+        n_inter = p.n_inter + interacting.astype(jnp.int32)
+        killed_now = interacting & (
+            (n_inter > config['n_inter_max']) |
+            bool(config['kill_on_scatter']) |
+            (energy < p.energy_initial * threshold))
+        alive = active & ~escaped_now & ~killed_now
+
+        # ---- scattering peeloff --------------------------------------------
+        orig_idx = jnp.where(p.reprocessed, ORIG_DUST_SCAT, ORIG_SOURCE_SCAT)
+        peel_events = interacting & ~killed_now
+        accums = peel_and_bin(
+            geometry, dt, density, groups, accums,
+            x, y, z, chi_rows, cell,
+            jnp.full((B,), nu_value, dtype=dtype), energy,
+            jnp.ones((B,), dtype=dtype), jnp.ones((B,), dtype=bool),
+            d_sel, p.kx, p.ky, p.kz, orig_idx, peel_events, dtype,
+            inu_global=inu_global)
+
+        tau = jnp.where(interacting, random_exp(k_tau2, (B,), dtype), tau)
+        packets = MonoPacketState(
+            x=x, y=y, z=z, kx=kx, ky=ky, kz=kz, energy=energy,
+            energy_initial=p.energy_initial, cell=cell, tau=tau,
+            n_inter=n_inter, alive=alive, reprocessed=p.reprocessed,
+            scattered=p.scattered | interacting)
+
+        return dict(packets=packets, key=key, budget=budget, accums=accums,
+                    killed_int=carry['killed_int'] +
+                    jnp.sum((interacting & (n_inter > config['n_inter_max']))
+                            .astype(carry['killed_int'].dtype)),
+                    n_steps=carry['n_steps'] + 1)
+
+    return step
+
+
+@partial(jax.jit, static_argnames=('batch_size', 'config_tuple', 'mode'))
+def _run_mono_pass(geometry, dt, st, density, groups, accums, key, n_photons,
+                   batch_size, config_tuple, mode, nu_value, inu_global,
+                   chi_vec, albedo_vec, src_energy, cell_cdf, mean_prob):
+    config = dict(config_tuple)
+    dtype = density.dtype
+    B = batch_size
+    itype = jnp.int64 if jax.config.jax_enable_x64 else jnp.int32
+
+    zeros = lambda *s: jnp.zeros(s, dtype=dtype)
+    packets = MonoPacketState(
+        x=zeros(B), y=zeros(B), z=zeros(B),
+        kx=zeros(B), ky=zeros(B), kz=jnp.ones((B,), dtype=dtype),
+        energy=zeros(B), energy_initial=zeros(B),
+        cell=jnp.zeros((B,), dtype=jnp.int32),
+        tau=zeros(B), n_inter=jnp.zeros((B,), dtype=jnp.int32),
+        alive=jnp.zeros((B,), dtype=bool),
+        reprocessed=jnp.zeros((B,), dtype=bool),
+        scattered=jnp.zeros((B,), dtype=bool))
+
+    carry = dict(packets=packets, key=key,
+                 budget=jnp.asarray(n_photons, dtype=itype),
+                 accums=list(accums),
+                 killed_int=jnp.asarray(0, dtype=itype),
+                 n_steps=jnp.asarray(0, dtype=itype))
+
+    step = _make_mono_step(geometry, dt, st, density, groups, config, mode,
+                           nu_value, inu_global, chi_vec, albedo_vec,
+                           src_energy, cell_cdf, mean_prob)
+    max_steps = config['max_steps']
+
+    def cond(c):
+        return ((c['budget'] > 0) | jnp.any(c['packets'].alive)) & \
+               (c['n_steps'] < max_steps)
+
+    carry = jax.lax.while_loop(cond, step, carry)
+    return carry['accums'], carry['killed_int'], carry['n_steps']
+
+
+def run_mono(geometry, dt, st, density, specific_energy, groups, key,
+             frequencies, n_photons_sources, n_photons_dust, sources, dusts,
+             batch_size=65536, n_inter_max=1000000, kill_on_scatter=False,
+             forced_first_interaction=True, peeloff_scattering_only=False,
+             energy_threshold=1e-10, max_steps=100000000, verbose=False):
+    """Full monochromatic iteration over all frequencies.
+
+    Returns (accums, stats). Flux normalization: source photons are scaled
+    by energy_total/n_photons_sources (host side, after the kernel), dust
+    photons by energy_abs_tot * n_dust / n_photons_dust — matching
+    iter_final_mono.f90:115,185. Because the per-pass scale differs, each
+    (frequency, pass) runs with raw energies and the bins are rescaled
+    before summation.
+    """
+    from .engine import update_optical_constants
+
+    dtype = density.dtype
+    frequencies = np.asarray(frequencies, float)
+    n_freq = len(frequencies)
+    n_dust = dt.n_dust
+    itype = np.int64
+
+    config_tuple = (('n_inter_max', int(n_inter_max)),
+                    ('kill_on_scatter', bool(kill_on_scatter)),
+                    ('forced_first_interaction', bool(forced_first_interaction)),
+                    ('peeloff_scattering_only', bool(peeloff_scattering_only)),
+                    ('energy_threshold', float(energy_threshold)),
+                    ('max_steps', int(max_steps)))
+
+    # per-frequency opacities (host -> device scalars)
+    nu_dev = jnp.asarray(frequencies, dtype=dtype)
+    chi_all, _, albedo_all = update_optical_constants(
+        dt, nu_dev)                               # (n_freq, n_dust)
+
+    src_e = source_mono_energies(sources, frequencies) if \
+        n_photons_sources else np.zeros((st.n_sources, n_freq))
+
+    if n_photons_dust and specific_energy is not None:
+        cell_cdf, mean_prob, energy_abs_tot = dust_mono_cell_pdfs(
+            dusts, np.asarray(density) / geometry.length_scale,
+            np.asarray(geometry.volumes) * geometry.length_scale ** 3,
+            np.asarray(specific_energy), frequencies)
+    else:
+        n_cells = density.shape[1]
+        cell_cdf = np.zeros((n_freq, n_dust, n_cells))
+        mean_prob = np.zeros((n_freq, n_dust))
+        energy_abs_tot = np.zeros(n_dust)
+
+    final_accums = [init_peel_accum(g, dtype) for g in groups]
+    total_killed = 0
+    total_steps = 0
+
+    for f_id in range(n_freq):
+        key, k_s, k_d = jax.random.split(key, 3)
+        zero_cdf = jnp.zeros((1, density.shape[1]), dtype=dtype)
+
+        if n_photons_sources > 0:
+            accums = [init_peel_accum(g, dtype) for g in groups]
+            accums, killed, steps = _run_mono_pass(
+                geometry, dt, st, density, list(groups), accums, k_s,
+                n_photons_sources, batch_size, config_tuple, 'source',
+                jnp.asarray(frequencies[f_id], dtype=dtype),
+                jnp.asarray(f_id, dtype=jnp.int32),
+                chi_all[f_id], albedo_all[f_id],
+                jnp.asarray(src_e[:, f_id], dtype=dtype),
+                zero_cdf, jnp.zeros((1,), dtype=dtype))
+            scale = float(st.energy_total) / n_photons_sources
+            final_accums = [a._replace(
+                sed=a.sed + b.sed * scale, sed2=a.sed2 + b.sed2 * scale ** 2,
+                sedn=a.sedn + b.sedn,
+                img=a.img + b.img * scale, img2=a.img2 + b.img2 * scale ** 2,
+                imgn=a.imgn + b.imgn)
+                for a, b in zip(final_accums, accums)]
+            total_killed += int(killed)
+            total_steps += int(steps)
+
+        if n_photons_dust > 0 and mean_prob[f_id].sum() > 0:
+            accums = [init_peel_accum(g, dtype) for g in groups]
+            accums, killed, steps = _run_mono_pass(
+                geometry, dt, st, density, list(groups), accums, k_d,
+                n_photons_dust, batch_size, config_tuple, 'dust',
+                jnp.asarray(frequencies[f_id], dtype=dtype),
+                jnp.asarray(f_id, dtype=jnp.int32),
+                chi_all[f_id], albedo_all[f_id],
+                jnp.zeros((st.n_sources,), dtype=dtype),
+                jnp.asarray(cell_cdf[f_id], dtype=dtype),
+                jnp.asarray(mean_prob[f_id] * energy_abs_tot * n_dust /
+                            n_photons_dust, dtype=dtype))
+            final_accums = [a._replace(
+                sed=a.sed + b.sed, sed2=a.sed2 + b.sed2, sedn=a.sedn + b.sedn,
+                img=a.img + b.img, img2=a.img2 + b.img2, imgn=a.imgn + b.imgn)
+                for a, b in zip(final_accums, accums)]
+            total_killed += int(killed)
+            total_steps += int(steps)
+
+        if verbose:
+            print("[mono] nu = %.4e Hz done" % frequencies[f_id])
+
+    return final_accums, dict(killed_int=total_killed, n_steps=total_steps)

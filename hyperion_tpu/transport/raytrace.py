@@ -289,6 +289,8 @@ def sample_position_in_cell(geometry, cell, key, dtype):
     from .gtable import CartesianGeometry
     from .gtable_spherical import SphericalGeometry
     from .gtable_cylindrical import CylindricalGeometry
+    if hasattr(geometry, 'random_position_in_cell'):
+        return geometry.random_position_in_cell(cell, key, dtype)
     u = jax.random.uniform(key, (3,) + cell.shape, dtype=dtype)
     if isinstance(geometry, CartesianGeometry):
         i1, i2, i3 = geometry.decode(cell)

@@ -1,0 +1,111 @@
+"""Monochromatic (exact-frequency) imaging tests
+(ref: hyperion/model/tests/test_mono.py + iter_final_mono.f90 semantics)."""
+
+import numpy as np
+import pytest
+
+from hyperion_tpu.model import Model
+from hyperion_tpu.dust import IsotropicDust
+from hyperion_tpu.util.constants import lsun, au, c, sigma, pi
+from hyperion_tpu.util.functions import B_nu
+
+
+def make_dust(chi=2.0, albedo=0.4):
+    nu = np.logspace(5, 18, 30)
+    return IsotropicDust(nu, np.repeat(albedo, 30), np.repeat(chi, 30))
+
+
+def mono_model(tmp_path, rho, wavelengths, albedo=0.4, n_src=30000,
+               n_dust=0, n_initial=0, track='no'):
+    m = Model()
+    lim = 3 * au
+    m.set_cartesian_grid(np.linspace(-lim, lim, 12),
+                         np.linspace(-lim, lim, 12),
+                         np.linspace(-lim, lim, 12))
+    m.add_density_grid(np.full(m.grid.shape, rho), make_dust(albedo=albedo))
+    s = m.add_point_source()
+    s.luminosity = lsun
+    s.temperature = 6000.0
+    sed = m.add_peeled_images(sed=True, image=False)
+    sed.set_viewing_angles([45.0], [60.0])
+    sed.set_aperture_radii(1, lim * 10, lim * 10)
+    sed.set_track_origin(track)
+    m.set_monochromatic(True, wavelengths=wavelengths)
+    sed.set_wavelength_index_range(0, len(wavelengths) - 1)
+    m.set_n_photons(initial=n_initial, imaging_sources=n_src,
+                    imaging_dust=n_dust)
+    m.set_n_initial_iterations(1 if n_initial else 0)
+    m.write(str(tmp_path / 'mono.rtin'))
+    return m
+
+
+def test_mono_source_optically_thin(tmp_path):
+    """Optically thin: SED(nu) == nu * L * pdf_bb(nu) analytically."""
+    wavelengths = [0.5, 1.0, 2.0, 5.0]
+    m = mono_model(tmp_path, rho=1e-22, wavelengths=wavelengths)
+    out = m.run()
+    sed = out.get_sed(inclination=0, aperture=-1)
+    assert sed.val.shape == (len(wavelengths),)
+    T = 6000.0
+    nu = np.sort(c / (np.asarray(wavelengths) * 1.e-4))
+    expected = nu * lsun * pi * B_nu(nu, T) / (sigma * T ** 4)
+    assert np.allclose(sed.val, expected, rtol=1e-2)
+    out.close()
+
+
+def test_mono_source_extinction(tmp_path):
+    """Pure absorption (albedo=0): direct flux attenuated by exp(-tau) along
+    the line of sight; no scattered flux."""
+    rho = 2e-18
+    wavelengths = [1.0, 2.0]
+    m = mono_model(tmp_path, rho=rho, wavelengths=wavelengths, albedo=0.0,
+                   n_src=20000)
+    out = m.run()
+    sed = out.get_sed(inclination=0, aperture=-1)
+    # chord from the center to the edge along the 45/60 view direction:
+    # the cube is axis-aligned with half-size 3 au; view dir components
+    theta, phi = np.radians(45.0), np.radians(60.0)
+    d = np.array([np.sin(theta) * np.cos(phi), np.sin(theta) * np.sin(phi),
+                  np.cos(theta)])
+    lim = 3 * au
+    tmax = np.min(lim / np.abs(d))
+    tau = 2.0 * rho * tmax  # chi = 2
+    T = 6000.0
+    nu = np.sort(c / (np.asarray(wavelengths) * 1.e-4))
+    expected = nu * lsun * pi * B_nu(nu, T) / (sigma * T ** 4) * np.exp(-tau)
+    assert np.allclose(sed.val, expected, rtol=5e-2)
+    out.close()
+
+
+def test_mono_scattering_conserves_flux_direction_avg(tmp_path):
+    """With scattering, total flux (direct+scattered) at moderate tau stays
+    close to the thin answer when averaged over enough photons."""
+    wavelengths = [1.0]
+    m = mono_model(tmp_path, rho=2e-19, wavelengths=wavelengths, albedo=0.9,
+                   n_src=50000)
+    out = m.run()
+    sed = out.get_sed(inclination=0, aperture=-1)
+    T = 6000.0
+    nu = np.sort(c / (np.asarray(wavelengths) * 1.e-4))
+    expected = nu * lsun * pi * B_nu(nu, T) / (sigma * T ** 4)
+    # scattered light roughly fills in what extinction removes (isotropic
+    # scattering, quasi-spherical geometry): within 15%
+    assert abs(sed.val[0] / expected[0] - 1.0) < 0.15
+    out.close()
+
+
+def test_mono_dust_emission_runs(tmp_path):
+    """Dust-emission pass: thermal photons at long wavelengths add flux."""
+    wavelengths = [100.0, 300.0]
+    m = mono_model(tmp_path, rho=5e-17, wavelengths=wavelengths,
+                   n_src=10000, n_dust=10000, n_initial=20000,
+                   track='basic')
+    out = m.run()
+    sed = out.get_sed(inclination=0, aperture=-1)
+    assert sed.val.shape == (2,)
+    assert (sed.val > 0).all()
+    # dust emission should exceed the (attenuated) stellar flux far in the IR
+    sed_direct = out.get_sed(inclination=0, aperture=-1,
+                             component='source_emit')
+    assert sed.val[1] > sed_direct.val[1]
+    out.close()
