@@ -54,7 +54,9 @@ def run_imaging(model, out, geometry, dt, st, density, specific_energy,
         kill_on_absorb=model.kill_on_absorb,
         forced_first_interaction=model.forced_first_interaction,
         peeloff_scattering_only=model.raytracing,
-        binned_group=binned_group, binned_dims=binned_dims)
+        binned_group=binned_group, binned_dims=binned_dims,
+        ffi_algorithm=model.forced_first_interaction_algorithm,
+        ffi_baes16_xi=model.forced_first_interaction_baes16_xi)
 
     scale = float(st.energy_total) / max(energy_current, 1e-300)
 
@@ -129,7 +131,9 @@ def _run_imaging_mono(model, out, geometry, dt, st, density, specific_energy,
         batch_size=batch_size, n_inter_max=model.n_inter_max,
         kill_on_scatter=model.kill_on_scatter,
         forced_first_interaction=model.forced_first_interaction,
-        peeloff_scattering_only=False)
+        peeloff_scattering_only=False,
+        ffi_algorithm=model.forced_first_interaction_algorithm,
+        ffi_baes16_xi=model.forced_first_interaction_baes16_xi)
 
     g_peeled = out.create_group('Peeled')
     for i, (conf, group, acc) in enumerate(zip(model.peeled_output, groups,

@@ -114,6 +114,13 @@ def _write_grid_dataset(group, name, flat, model_grid, compression='gzip'):
     group.create_dataset(name, data=flat, compression=compression)
 
 
+def _pda_tables(model):
+    if not model.pda:
+        return None
+    from ..transport.pda import build_pda_tables
+    return build_pda_tables(model.grid)
+
+
 def run_model(model, filename, batch_size=None, dtype=None, parallel=False):
     """Execute the model and write the .rtout file."""
     import h5py
@@ -174,6 +181,7 @@ def run_model(model, filename, batch_size=None, dtype=None, parallel=False):
             use_mrw=model.mrw,
             mrw_gamma=getattr(model, 'mrw_gamma', 1.0),
             n_mrw_max=getattr(model, 'n_inter_mrw_max', 1000),
+            use_pda=model.pda, pda_tables=_pda_tables(model),
             verbose=True, iteration_callback=callback)
 
     # ---- write output -------------------------------------------------------

@@ -473,16 +473,19 @@ def make_final_step(geometry, dt, st, density, jnu_var_id, jnu_var_frac,
         emitted = can & (cell_new != ESCAPED)
         energy_new = jnp.asarray(1.0, dtype) * jnp.ones_like(new['x'])
 
-        # WR99 forced first interaction: reweight by 1 - exp(-tau_escape)
-        # and draw the first interaction depth inside the grid
+        # Forced first interaction (WR99 or Baes16 composite biasing):
+        # reweight the packet and draw the first interaction depth inside
+        # the grid (ref iter_final.f90:178-210)
         if ffi:
+            from .ffi import sample_first_interaction
             tau_esc = escape_tau_walk(geometry, density, chi_n,
                                       new['x'], new['y'], new['z'],
                                       new['kx'], new['ky'], new['kz'],
                                       cell_new, emitted)
-            w_ffi = -jnp.expm1(-tau_esc)
-            xi = jax.random.uniform(k_ffi, tau_esc.shape, dtype=dtype)
-            tau_new = -jnp.log1p(-xi * w_ffi)
+            applies = tau_esc > 1e-10
+            tau_new, w_ffi = sample_first_interaction(
+                k_ffi, tau_esc, applies, config['ffi_algorithm'],
+                config['ffi_baes16_xi'], dtype)
             energy_new = energy_new * w_ffi
         else:
             tau_new = random_exp(k_tau, p.tau.shape, dtype)
@@ -689,7 +692,8 @@ def run_final(geometry, dt, st, density, specific_energy, groups, key,
               n_photons, batch_size=65536, n_inter_max=1000000,
               kill_on_scatter=False, kill_on_absorb=False,
               forced_first_interaction=True, peeloff_scattering_only=False,
-              max_steps=100000000, binned_group=None, binned_dims=None):
+              max_steps=100000000, binned_group=None, binned_dims=None,
+              ffi_algorithm='wr99', ffi_baes16_xi=0.5):
     """Run the imaging iteration; returns (accums, energy_current, stats)."""
     from .lucy import compute_jnu_var
     import jax.numpy as jnp_
@@ -703,6 +707,8 @@ def run_final(geometry, dt, st, density, specific_energy, groups, key,
                     ('kill_on_absorb', bool(kill_on_absorb)),
                     ('forced_first_interaction', bool(forced_first_interaction)),
                     ('peeloff_scattering_only', bool(peeloff_scattering_only)),
+                    ('ffi_algorithm', str(ffi_algorithm)),
+                    ('ffi_baes16_xi', float(ffi_baes16_xi)),
                     ('max_steps', int(max_steps)))
     accums, binned_acc, energy_current, killed_int, n_steps = _run_final_jit(
         geometry, dt, st, density, jnu_var_id, jnu_var_frac, list(groups),

@@ -135,6 +135,7 @@ def run_lucy(geometry, dt, st, density, key, n_photons, n_iterations,
              convergence_absolute=0.0, convergence_relative=1.02,
              convergence_percentile=100.0, initial_specific_energy=None,
              use_mrw=False, mrw_gamma=1.0, n_mrw_max=1000,
+             use_pda=False, pda_tables=None,
              verbose=True, iteration_callback=None):
     """Run the Lucy loop: n_iterations (or until converged).
 
@@ -187,6 +188,17 @@ def run_lucy(geometry, dt, st, density, key, n_photons, n_iterations,
         if minimum_specific_energy is not None:
             specific_energy = apply_minimum_specific_energy(
                 specific_energy, jnp.asarray(minimum_specific_energy, dtype=dtype))
+        if use_pda and pda_tables is not None:
+            # diffusion fill-in for photon-starved cells, host-side
+            # (ref iter_lucy.f90:228 solve_pda on rank 0)
+            from .pda import solve_pda
+            rho_phys = np.asarray(density, float) / geometry.length_scale
+            se_fixed, n_pda = solve_pda(pda_tables, dt, rho_phys,
+                                        np.asarray(specific_energy, float),
+                                        np.asarray(n_photons_cell))
+            if verbose and n_pda:
+                print("[pda] corrected %d photon-starved cells" % n_pda)
+            specific_energy = jnp.asarray(se_fixed, dtype=dtype)
         density, specific_energy = sublimate_dust(dt, density, specific_energy)
 
         stats = dict(killed_int=int(killed_int), killed_geo=int(killed_geo),

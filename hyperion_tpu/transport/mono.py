@@ -245,16 +245,15 @@ def _make_mono_step(geometry, dt, st, density, groups, config, mode,
 
         # WR99/Baes16 FFI for new lanes (ref iter_final_mono.f90:253-270)
         if ffi:
+            from .ffi import sample_first_interaction
             tau_esc = escape_tau_walk(geometry, density, chi_rows,
                                       nx, ny, nz, nkx, nky, nkz,
                                       cell_new, emitted)
-            w_ffi = -jnp.expm1(-tau_esc)
-            xi = jax.random.uniform(k_ffi, (B,), dtype=dtype)
-            tau_new = -jnp.log1p(-xi * w_ffi)
             applies = tau_esc > 1e-10
-            e_ffi = jnp.where(applies, e_new * w_ffi, e_new)
-            tau_new = jnp.where(applies, tau_new,
-                                random_exp(k_tau, (B,), dtype))
+            tau_new, w_ffi = sample_first_interaction(
+                k_ffi, tau_esc, applies, config['ffi_algorithm'],
+                config['ffi_baes16_xi'], dtype)
+            e_ffi = e_new * w_ffi
         else:
             e_ffi = e_new
             tau_new = random_exp(k_tau, (B,), dtype)
@@ -401,7 +400,8 @@ def run_mono(geometry, dt, st, density, specific_energy, groups, key,
              frequencies, n_photons_sources, n_photons_dust, sources, dusts,
              batch_size=65536, n_inter_max=1000000, kill_on_scatter=False,
              forced_first_interaction=True, peeloff_scattering_only=False,
-             energy_threshold=1e-10, max_steps=100000000, verbose=False):
+             energy_threshold=1e-10, max_steps=100000000, verbose=False,
+             ffi_algorithm='wr99', ffi_baes16_xi=0.5):
     """Full monochromatic iteration over all frequencies.
 
     Returns (accums, stats). Flux normalization: source photons are scaled
@@ -424,6 +424,8 @@ def run_mono(geometry, dt, st, density, specific_energy, groups, key,
                     ('forced_first_interaction', bool(forced_first_interaction)),
                     ('peeloff_scattering_only', bool(peeloff_scattering_only)),
                     ('energy_threshold', float(energy_threshold)),
+                    ('ffi_algorithm', str(ffi_algorithm)),
+                    ('ffi_baes16_xi', float(ffi_baes16_xi)),
                     ('max_steps', int(max_steps)))
 
     # per-frequency opacities (host -> device scalars)
