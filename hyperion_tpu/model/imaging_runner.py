@@ -183,15 +183,18 @@ def write_peel_group(g, conf, group, acc, scale, raytraced=None,
         # on disk: (n_stokes, n_orig, n_view, n_ap, n_nu)
         sed = np.asarray(acc.sed, dtype=np.float64) * scale
         if raytraced is not None and raytraced[0] is not None:
-            sed = sed + raytraced[0]
+            # raytraced (direct+thermal) light is unpolarized -> Stokes I
+            sed[..., 0] = sed[..., 0] + raytraced[0]
         unc = np.sqrt(np.asarray(acc.sed2, dtype=np.float64)) * scale
         if group.monochromatic:
-            sed = sed * nu_norm[None, None, :, None]
-            unc = unc * nu_norm[None, None, :, None]
+            sed = sed * nu_norm[None, None, :, None, None]
+            unc = unc * nu_norm[None, None, :, None, None]
         else:
             sed = sed / dnunorm
             unc = unc / dnunorm
-        sed = sed.transpose(3, 0, 1, 2)[None, ...]
+        # (n_view, n_ap, n_nu, n_orig, n_stokes) ->
+        # (n_stokes, n_orig, n_view, n_ap, n_nu)
+        sed = sed.transpose(4, 3, 0, 1, 2)
         sed = np.cumsum(sed, axis=3)  # cumulative apertures
         dset = g.create_dataset('seds', data=sed.astype(io_dtype),
                                 compression='gzip')
@@ -202,7 +205,7 @@ def write_peel_group(g, conf, group, acc, scale, raytraced=None,
         dset.attrs['apmax'] = conf.ap_max
         dset.attrs['track_origin'] = np.bytes_(group.track_origin)
         if group.uncertainties:
-            unc = unc.transpose(3, 0, 1, 2)[None, ...]
+            unc = unc.transpose(4, 3, 0, 1, 2)
             unc = np.sqrt(np.cumsum(unc ** 2, axis=3))
             d2 = g.create_dataset('seds_unc', data=unc.astype(io_dtype),
                                   compression='gzip')
@@ -215,15 +218,17 @@ def write_peel_group(g, conf, group, acc, scale, raytraced=None,
         # on disk: (n_stokes, n_orig, n_view, n_y, n_x, n_nu)
         img = np.asarray(acc.img, dtype=np.float64) * scale
         if raytraced is not None and raytraced[1] is not None:
-            img = img + raytraced[1]
+            img[..., 0] = img[..., 0] + raytraced[1]
         unc = np.sqrt(np.asarray(acc.img2, dtype=np.float64)) * scale
         if group.monochromatic:
-            img = img * nu_norm[None, None, None, :, None]
-            unc = unc * nu_norm[None, None, None, :, None]
+            img = img * nu_norm[None, None, None, :, None, None]
+            unc = unc * nu_norm[None, None, None, :, None, None]
         else:
             img = img / dnunorm
             unc = unc / dnunorm
-        img = img.transpose(4, 0, 1, 2, 3)[None, ...]
+        # (n_view, n_y, n_x, n_nu, n_orig, n_stokes) ->
+        # (n_stokes, n_orig, n_view, n_y, n_x, n_nu)
+        img = img.transpose(5, 4, 0, 1, 2, 3)
         dset = g.create_dataset('images', data=img.astype(io_dtype),
                                 compression='gzip')
         if not group.monochromatic:
@@ -235,7 +240,7 @@ def write_peel_group(g, conf, group, acc, scale, raytraced=None,
         dset.attrs['ymax'] = conf.ymax
         dset.attrs['track_origin'] = np.bytes_(group.track_origin)
         if group.uncertainties:
-            unc = unc.transpose(4, 0, 1, 2, 3)[None, ...]
+            unc = unc.transpose(5, 4, 0, 1, 2, 3)
             d2 = g.create_dataset('images_unc', data=unc.astype(io_dtype),
                                   compression='gzip')
             if not group.monochromatic:

@@ -43,6 +43,17 @@ class DustTables(NamedTuple):
     # Phase function normalized so (1/4pi) * integral over solid angle == 1
     # (used for peeloff probabilities): (n_dust * n_nu, n_mu)
     P1_peel: jnp.ndarray
+    # Full 4-element scattering matrix, all scaled by the SAME per-(dust,nu)
+    # norm as P1_peel, so Stokes peel weights stay in units of 1/4pi
+    # (ref dust_type_4elem.f90 P1..P4 + scatter_stokes): (n_dust*n_nu, n_mu)
+    P2_peel: jnp.ndarray
+    P3_peel: jnp.ndarray
+    P4_peel: jnp.ndarray
+    # Unnormalized cumulative integrals of P1 and P2 over mu (same scale),
+    # for polarization-aware mu sampling from the mixture
+    # I*P1 + Q_scat*P2 (ref dust_scatter, dust_type_4elem.f90:504-545)
+    P1_cum: jnp.ndarray
+    P2_cum: jnp.ndarray
     # Mean opacities vs specific energy: (n_dust, n_e)
     me_specific_energy: jnp.ndarray
     me_temperature: jnp.ndarray
@@ -144,6 +155,11 @@ def build_dust_tables(dusts, dtype=jnp.float32):
     mu = np.zeros((n_dust, n_mu))
     P1_cdf = np.zeros((n_dust, n_nu, n_mu))
     P1_peel = np.zeros((n_dust, n_nu, n_mu))
+    P2_peel = np.zeros((n_dust, n_nu, n_mu))
+    P3_peel = np.zeros((n_dust, n_nu, n_mu))
+    P4_peel = np.zeros((n_dust, n_nu, n_mu))
+    P1_cum = np.zeros((n_dust, n_nu, n_mu))
+    P2_cum = np.zeros((n_dust, n_nu, n_mu))
     me = {k: np.zeros((n_dust, n_e)) for k in
           ('specific_energy', 'temperature', 'chi_planck', 'kappa_planck',
            'chi_inv_planck', 'kappa_inv_planck', 'chi_rosseland',
@@ -197,9 +213,32 @@ def build_dust_tables(dusts, dtype=jnp.float32):
         # event's weight is the phase function in units of 1/4pi)
         norm = 0.5 * np.trapezoid(P1, mu_d, axis=1)  # (n_nu_d,)
         with np.errstate(divide='ignore', invalid='ignore'):
-            pp = np.where(norm[:, None] > 0, P1 / norm[:, None], 1.0)
+            inv_norm = np.where(norm > 0, 1.0 / np.where(norm > 0, norm, 1.0),
+                                1.0)
+        pp = np.where(norm[:, None] > 0, P1 * inv_norm[:, None], 1.0)
         P1_peel[i] = np.pad(pp, ((0, n_nu - pp.shape[0]),
                                  (0, n_mu - pp.shape[1])), mode='edge')
+        # Remaining matrix elements, same scale (zero rows where P1 had no
+        # norm -> isotropic unpolarized fallback)
+        pad2 = lambda a: np.pad(a, ((0, n_nu - a.shape[0]),
+                                    (0, n_mu - a.shape[1])), mode='edge')
+        P2 = np.asarray(op.P2, float) * inv_norm[:, None]
+        P3 = np.asarray(op.P3, float) * inv_norm[:, None]
+        P4 = np.asarray(op.P4, float) * inv_norm[:, None]
+        P2_peel[i] = pad2(np.where(norm[:, None] > 0, P2, 0.0))
+        P3_peel[i] = pad2(np.where(norm[:, None] > 0, P3, 1.0))
+        P4_peel[i] = pad2(np.where(norm[:, None] > 0, P4, 0.0))
+        # Unnormalized cumulatives (same 1/norm scale) for mixture sampling
+        dmu = np.diff(mu_d)[None, :]
+        seg1 = 0.5 * (pp[:, :-1] + pp[:, 1:]) * dmu
+        seg2 = 0.5 * (P2_peel[i][:P2.shape[0], :len(mu_d) - 1] +
+                      P2_peel[i][:P2.shape[0], 1:len(mu_d)]) * dmu
+        c1 = np.concatenate([np.zeros((pp.shape[0], 1)),
+                             np.cumsum(seg1, axis=1)], axis=1)
+        c2 = np.concatenate([np.zeros((pp.shape[0], 1)),
+                             np.cumsum(seg2, axis=1)], axis=1)
+        P1_cum[i] = pad2(c1)
+        P2_cum[i] = pad2(c2)
 
         mo = d.mean_opacities
         for k in me:
@@ -217,6 +256,11 @@ def build_dust_tables(dusts, dtype=jnp.float32):
         bnu_cdf=f(bnu_cdf.reshape(n_dust * n_var, n_enu)),
         mu=f(mu), P1_cdf=f(P1_cdf.reshape(n_dust * n_nu, n_mu)),
         P1_peel=f(P1_peel.reshape(n_dust * n_nu, n_mu)),
+        P2_peel=f(P2_peel.reshape(n_dust * n_nu, n_mu)),
+        P3_peel=f(P3_peel.reshape(n_dust * n_nu, n_mu)),
+        P4_peel=f(P4_peel.reshape(n_dust * n_nu, n_mu)),
+        P1_cum=f(P1_cum.reshape(n_dust * n_nu, n_mu)),
+        P2_cum=f(P2_cum.reshape(n_dust * n_nu, n_mu)),
         me_specific_energy=f(me['specific_energy']),
         me_temperature=f(me['temperature']),
         me_chi_planck=f(me['chi_planck']),

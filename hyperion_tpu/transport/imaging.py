@@ -66,6 +66,9 @@ class PeelGroup:
     # exact-frequency list (ref image_type.f90 monochromatic binning)
     monochromatic: bool = field(default=False, metadata=dict(static=True))
     iwav_min: int = field(default=0, metadata=dict(static=True))
+    # Stokes channels: 4 (I,Q,U,V) when the conf requests polarization
+    # (ref image_type.f90 n_stokes; set_stokes conf_files.py:1149)
+    n_stokes: int = field(default=1, metadata=dict(static=True))
 
 
 def build_peel_group(conf, dtype=jnp.float32, length_scale=1.0):
@@ -120,7 +123,8 @@ def build_peel_group(conf, dtype=jnp.float32, length_scale=1.0):
         compute_image=bool(conf.image), compute_sed=bool(conf.sed),
         uncertainties=bool(conf.uncertainties), track_origin=track,
         monochromatic=bool(conf._monochromatic),
-        iwav_min=int(conf.iwav_min or 0) if conf._monochromatic else 0)
+        iwav_min=int(conf.iwav_min or 0) if conf._monochromatic else 0,
+        n_stokes=4 if conf.stokes else 1)
 
 
 def build_binned_group(conf, dtype=jnp.float32, length_scale=1.0):
@@ -158,13 +162,18 @@ def build_binned_group(conf, dtype=jnp.float32, length_scale=1.0):
         n_y=conf.n_y if conf.image else 1,
         n_nu=conf.n_wav, n_ap=n_ap, n_orig=n_orig,
         compute_image=bool(conf.image), compute_sed=bool(conf.sed),
-        uncertainties=bool(conf.uncertainties), track_origin=track)
+        uncertainties=bool(conf.uncertainties), track_origin=track,
+        n_stokes=4 if conf.stokes else 1)
 
 
 def bin_escaped(group, n_theta, n_phi, acc, x, y, z, kx, ky, kz, nu, energy,
-                orig_idx, escaped_mask, dtype):
+                orig_idx, escaped_mask, dtype, stokes_in=None):
     """Bin escaping photons by their exit direction into the theta/phi
     view cube (ref binned_images_bin_photon, images_binned.f90:57-95)."""
+    if stokes_in is None:
+        zq = jnp.zeros_like(x)
+        stokes_in = (zq, zq, zq)
+    stokes_mults = [jnp.ones_like(x)] + list(stokes_in)
     theta = jnp.arccos(jnp.clip(kz, -1.0, 1.0))
     phi = jnp.arctan2(ky, kx) % (2.0 * jnp.pi)
     it = jnp.clip((theta / jnp.pi * n_theta).astype(jnp.int32), 0, n_theta - 1)
@@ -205,14 +214,21 @@ def bin_escaped(group, n_theta, n_phi, acc, x, y, z, kx, ky, kz, nu, energy,
             ap_ok = ir < group.n_ap
             ir = jnp.clip(ir, 0, group.n_ap - 1)
         ok = ok_base & ap_ok
-        idx = ((iv * group.n_ap + ir) * group.n_nu + inu) * group.n_orig + io
-        idx = jnp.where(ok, idx, sed.size)
-        val = jnp.where(ok, energy, 0.0)
-        sed = sed.reshape(-1).at[idx].add(val, mode='drop').reshape(sed.shape)
-        if group.uncertainties:
-            sed2 = sed2.reshape(-1).at[idx].add(val * val, mode='drop').reshape(sed2.shape)
-            sedn = sedn.reshape(-1).at[idx].add(
-                jnp.where(ok, 1.0, 0.0), mode='drop').reshape(sedn.shape)
+        idx0 = (((iv * group.n_ap + ir) * group.n_nu + inu) * group.n_orig +
+                io) * group.n_stokes
+        sed_f, sed2_f, sedn_f = (sed.reshape(-1), sed2.reshape(-1),
+                                 sedn.reshape(-1))
+        for s_ch in range(group.n_stokes):
+            idx = jnp.where(ok, idx0 + s_ch, sed.size)
+            val = jnp.where(ok, energy * stokes_mults[s_ch], 0.0)
+            sed_f = sed_f.at[idx].add(val, mode='drop')
+            if group.uncertainties:
+                sed2_f = sed2_f.at[idx].add(val * val, mode='drop')
+                sedn_f = sedn_f.at[idx].add(jnp.where(ok, 1.0, 0.0),
+                                            mode='drop')
+        sed = sed_f.reshape(sed.shape)
+        sed2 = sed2_f.reshape(sed2.shape)
+        sedn = sedn_f.reshape(sedn.shape)
     if group.compute_image:
         fx = (x_img - group.xmin) / (group.xmax - group.xmin)
         fy = (y_img - group.ymin) / (group.ymax - group.ymin)
@@ -222,15 +238,21 @@ def bin_escaped(group, n_theta, n_phi, acc, x, y, z, kx, ky, kz, nu, energy,
             (iy < group.n_y)
         ix = jnp.clip(ix, 0, group.n_x - 1)
         iy = jnp.clip(iy, 0, group.n_y - 1)
-        idx = (((iv * group.n_y + iy) * group.n_x + ix) * group.n_nu + inu) * \
-            group.n_orig + io
-        idx = jnp.where(ok, idx, img.size)
-        val = jnp.where(ok, energy, 0.0)
-        img = img.reshape(-1).at[idx].add(val, mode='drop').reshape(img.shape)
-        if group.uncertainties:
-            img2 = img2.reshape(-1).at[idx].add(val * val, mode='drop').reshape(img2.shape)
-            imgn = imgn.reshape(-1).at[idx].add(
-                jnp.where(ok, 1.0, 0.0), mode='drop').reshape(imgn.shape)
+        idx0 = ((((iv * group.n_y + iy) * group.n_x + ix) * group.n_nu +
+                 inu) * group.n_orig + io) * group.n_stokes
+        img_f, img2_f, imgn_f = (img.reshape(-1), img2.reshape(-1),
+                                 imgn.reshape(-1))
+        for s_ch in range(group.n_stokes):
+            idx = jnp.where(ok, idx0 + s_ch, img.size)
+            val = jnp.where(ok, energy * stokes_mults[s_ch], 0.0)
+            img_f = img_f.at[idx].add(val, mode='drop')
+            if group.uncertainties:
+                img2_f = img2_f.at[idx].add(val * val, mode='drop')
+                imgn_f = imgn_f.at[idx].add(jnp.where(ok, 1.0, 0.0),
+                                            mode='drop')
+        img = img_f.reshape(img.shape)
+        img2 = img2_f.reshape(img2.shape)
+        imgn = imgn_f.reshape(imgn.shape)
     return PeelAccum(sed=sed, sed2=sed2, sedn=sedn, img=img, img2=img2,
                      imgn=imgn)
 
@@ -248,12 +270,12 @@ def init_peel_accum(group, dtype):
     g = group
     z = lambda *s: jnp.zeros(s, dtype=dtype)
     return PeelAccum(
-        sed=z(g.n_view, g.n_ap, g.n_nu, g.n_orig),
-        sed2=z(g.n_view, g.n_ap, g.n_nu, g.n_orig),
-        sedn=z(g.n_view, g.n_ap, g.n_nu, g.n_orig),
-        img=z(g.n_view, g.n_y, g.n_x, g.n_nu, g.n_orig),
-        img2=z(g.n_view, g.n_y, g.n_x, g.n_nu, g.n_orig),
-        imgn=z(g.n_view, g.n_y, g.n_x, g.n_nu, g.n_orig))
+        sed=z(g.n_view, g.n_ap, g.n_nu, g.n_orig, g.n_stokes),
+        sed2=z(g.n_view, g.n_ap, g.n_nu, g.n_orig, g.n_stokes),
+        sedn=z(g.n_view, g.n_ap, g.n_nu, g.n_orig, g.n_stokes),
+        img=z(g.n_view, g.n_y, g.n_x, g.n_nu, g.n_orig, g.n_stokes),
+        img2=z(g.n_view, g.n_y, g.n_x, g.n_nu, g.n_orig, g.n_stokes),
+        imgn=z(g.n_view, g.n_y, g.n_x, g.n_nu, g.n_orig, g.n_stokes))
 
 
 def escape_tau_walk(geometry, density, chi_rows, x, y, z, kx, ky, kz, cell,
@@ -317,29 +339,55 @@ def eval_phase_peel(dt, dust_id, nu, mu):
 def peel_and_bin(geometry, dt, density, groups, accums, p_x, p_y, p_z,
                  chi_rows, cell, nu, energy, weight_iso, is_scatter, dust_id,
                  k_in_x, k_in_y, k_in_z, orig_idx, active, dtype,
-                 inu_global=None):
+                 inu_global=None, stokes_in=None):
     """For every group and view: compute peel weight, escape tau, and bin.
 
     weight_iso: weight for isotropic events (1); scattering events use the
-    phase function at the angle between the incoming direction and the view.
+    scattering matrix at the angle between the incoming direction and the
+    view — the full Stokes 4-vector when the group tracks polarization.
     inu_global: in monochromatic mode, the exact-frequency index of every
     lane (scalar or (B,)); frequency bins are indices, not log bins.
+    stokes_in: (q, u, v) of the photons (None -> unpolarized).
     """
+    from .stokes import peel_scatter_stokes
+    if stokes_in is None:
+        zq = jnp.zeros_like(p_x)
+        stokes_in = (zq, zq, zq)
+    q_in, u_in, v_in = stokes_in
+    want_stokes = any(g.n_stokes > 1 for g in groups)
     new_accums = []
     for group, acc in zip(groups, accums):
         sed, sed2, sedn = acc.sed, acc.sed2, acc.sedn
         img, img2, imgn = acc.img, acc.img2, acc.imgn
         for iv in range(group.n_view):
             vd = group.view_dir[iv]
-            # peel probability
-            mu_req = k_in_x * vd[0] + k_in_y * vd[1] + k_in_z * vd[2]
-            w_scat = eval_phase_peel(dt, dust_id, nu, mu_req)
-            w = jnp.where(is_scatter, w_scat, weight_iso)
+            # peel probability (Stokes-aware when any group wants it;
+            # ref interact_peeloff -> dust_scatter_peeloff)
+            if want_stokes:
+                wI, wQ, wU, wV = peel_scatter_stokes(
+                    dt, dust_id, nu, k_in_x, k_in_y, k_in_z,
+                    q_in, u_in, v_in,
+                    jnp.full_like(p_x, vd[0]), jnp.full_like(p_x, vd[1]),
+                    jnp.full_like(p_x, vd[2]))
+                w = jnp.where(is_scatter, wI, weight_iso)
+                w_q = jnp.where(is_scatter, wQ, 0.0)
+                w_u = jnp.where(is_scatter, wU, 0.0)
+                w_v = jnp.where(is_scatter, wV, 0.0)
+            else:
+                mu_req = k_in_x * vd[0] + k_in_y * vd[1] + k_in_z * vd[2]
+                w_scat = eval_phase_peel(dt, dust_id, nu, mu_req)
+                w = jnp.where(is_scatter, w_scat, weight_iso)
+                w_q = w_u = w_v = None
 
             tau = escape_tau_walk(geometry, density, chi_rows,
                                   p_x, p_y, p_z, vd[0], vd[1], vd[2],
                                   cell, active)
-            flux = w * energy * jnp.exp(-tau)
+            atten = energy * jnp.exp(-tau)
+            flux = w * atten
+            if group.n_stokes > 1:
+                flux_s = [flux, w_q * atten, w_u * atten, w_v * atten]
+            else:
+                flux_s = [flux]
 
             # image-plane coordinates
             dx = p_x - group.origin[0]
@@ -384,15 +432,21 @@ def peel_and_bin(geometry, dt, density, groups, accums, p_x, p_y, p_z,
                     ir = jnp.clip(ir, 0, group.n_ap - 1)
                 ok = ok_base & ap_ok
                 iv_idx = jnp.full_like(cell, iv)
-                idx = ((iv_idx * group.n_ap + ir) * group.n_nu + inu) * \
-                    group.n_orig + io
-                idx = jnp.where(ok, idx, sed.size)
-                val = jnp.where(ok, flux, 0.0)
-                sed = sed.reshape(-1).at[idx].add(val, mode='drop').reshape(sed.shape)
-                if group.uncertainties:
-                    sed2 = sed2.reshape(-1).at[idx].add(val * val, mode='drop').reshape(sed2.shape)
-                    sedn = sedn.reshape(-1).at[idx].add(
-                        jnp.where(ok, 1.0, 0.0), mode='drop').reshape(sedn.shape)
+                idx0 = (((iv_idx * group.n_ap + ir) * group.n_nu + inu) *
+                        group.n_orig + io) * group.n_stokes
+                sed_f, sed2_f, sedn_f = (sed.reshape(-1), sed2.reshape(-1),
+                                         sedn.reshape(-1))
+                for s_ch, fx_s in enumerate(flux_s):
+                    idx = jnp.where(ok, idx0 + s_ch, sed.size)
+                    val = jnp.where(ok, fx_s, 0.0)
+                    sed_f = sed_f.at[idx].add(val, mode='drop')
+                    if group.uncertainties:
+                        sed2_f = sed2_f.at[idx].add(val * val, mode='drop')
+                        sedn_f = sedn_f.at[idx].add(
+                            jnp.where(ok, 1.0, 0.0), mode='drop')
+                sed = sed_f.reshape(sed.shape)
+                sed2 = sed2_f.reshape(sed2.shape)
+                sedn = sedn_f.reshape(sedn.shape)
 
             if group.compute_image:
                 fx = (x_img - group.xmin) / (group.xmax - group.xmin)
@@ -404,15 +458,22 @@ def peel_and_bin(geometry, dt, density, groups, accums, p_x, p_y, p_z,
                 ix = jnp.clip(ix, 0, group.n_x - 1)
                 iy = jnp.clip(iy, 0, group.n_y - 1)
                 iv_idx = jnp.full_like(cell, iv)
-                idx = (((iv_idx * group.n_y + iy) * group.n_x + ix) *
-                       group.n_nu + inu) * group.n_orig + io
-                idx = jnp.where(ok, idx, img.size)
-                val = jnp.where(ok, flux, 0.0)
-                img = img.reshape(-1).at[idx].add(val, mode='drop').reshape(img.shape)
-                if group.uncertainties:
-                    img2 = img2.reshape(-1).at[idx].add(val * val, mode='drop').reshape(img2.shape)
-                    imgn = imgn.reshape(-1).at[idx].add(
-                        jnp.where(ok, 1.0, 0.0), mode='drop').reshape(imgn.shape)
+                idx0 = ((((iv_idx * group.n_y + iy) * group.n_x + ix) *
+                         group.n_nu + inu) * group.n_orig + io) * \
+                    group.n_stokes
+                img_f, img2_f, imgn_f = (img.reshape(-1), img2.reshape(-1),
+                                         imgn.reshape(-1))
+                for s_ch, fx_s in enumerate(flux_s):
+                    idx = jnp.where(ok, idx0 + s_ch, img.size)
+                    val = jnp.where(ok, fx_s, 0.0)
+                    img_f = img_f.at[idx].add(val, mode='drop')
+                    if group.uncertainties:
+                        img2_f = img2_f.at[idx].add(val * val, mode='drop')
+                        imgn_f = imgn_f.at[idx].add(
+                            jnp.where(ok, 1.0, 0.0), mode='drop')
+                img = img_f.reshape(img.shape)
+                img2 = img2_f.reshape(img2.shape)
+                imgn = imgn_f.reshape(imgn.shape)
 
         new_accums.append(PeelAccum(sed=sed, sed2=sed2, sedn=sedn,
                                     img=img, img2=img2, imgn=imgn))
@@ -437,6 +498,11 @@ class FinalPacketState(NamedTuple):
     chi: jnp.ndarray
     kappa: jnp.ndarray
     albedo: jnp.ndarray
+    # Stokes Q, U, V in the meridian frame of the travel direction
+    # (I normalized to 1; ref type_photon %s, dust_scatter:566-571)
+    q: jnp.ndarray
+    u: jnp.ndarray
+    v: jnp.ndarray
 
 
 def make_final_step(geometry, dt, st, density, jnu_var_id, jnu_var_frac,
@@ -502,7 +568,9 @@ def make_final_step(geometry, dt, st, density, jnu_var_id, jnu_var_frac,
             reprocessed=jnp.where(can, False, p.reprocessed),
             scattered=jnp.where(can, False, p.scattered),
             chi=m2(p.chi, chi_n), kappa=m2(p.kappa, kappa_n),
-            albedo=m2(p.albedo, alb_n))
+            albedo=m2(p.albedo, alb_n),
+            q=jnp.where(can, 0.0, p.q), u=jnp.where(can, 0.0, p.u),
+            v=jnp.where(can, 0.0, p.v))
 
         accums = carry['accums']
         if not peeloff_scattering_only:
@@ -555,10 +623,11 @@ def make_final_step(geometry, dt, st, density, jnu_var_id, jnu_var_frac,
         var_frac = jnu_var_frac[d_sel, cell_safe]
         nu_em = sample_emission_nu(dt, d_sel, var_id, var_frac, k_nu)
         ex, ey, ez = isotropic_direction(k_dir, p.nu.shape, dtype)
-        mu_s = sample_scattering_mu(dt, d_sel, p.nu, k_mu)
-        phi_s = jax.random.uniform(k_phi, p.nu.shape, dtype=dtype,
-                                   maxval=2 * jnp.pi)
-        sx, sy, sz = rotate_direction(p.kx, p.ky, p.kz, mu_s, phi_s)
+        # polarization-aware scattering (ref dust_scatter w/ Stokes)
+        from .stokes import sample_scatter_stokes
+        k_st = jax.random.fold_in(k_mu, 7)
+        sx, sy, sz, q_s, u_s, v_s = sample_scatter_stokes(
+            dt, d_sel, p.nu, k_st, p.kx, p.ky, p.kz, p.q, p.u, p.v)
 
         absorbed = interacting & ~scatter
         scattered_now = interacting & scatter
@@ -566,6 +635,10 @@ def make_final_step(geometry, dt, st, density, jnu_var_id, jnu_var_frac,
         kx = jnp.where(absorbed, ex, jnp.where(scattered_now, sx, p.kx))
         ky = jnp.where(absorbed, ey, jnp.where(scattered_now, sy, p.ky))
         kz = jnp.where(absorbed, ez, jnp.where(scattered_now, sz, p.kz))
+        # dust re-emission depolarizes; scattering rotates/polarizes
+        q_new = jnp.where(absorbed, 0.0, jnp.where(scattered_now, q_s, p.q))
+        u_new = jnp.where(absorbed, 0.0, jnp.where(scattered_now, u_s, p.u))
+        v_new = jnp.where(absorbed, 0.0, jnp.where(scattered_now, v_s, p.v))
 
         reprocessed = p.reprocessed | absorbed
         scattered_flag = jnp.where(absorbed, False,
@@ -598,7 +671,8 @@ def make_final_step(geometry, dt, st, density, jnu_var_id, jnu_var_frac,
             geometry, dt, density, groups, accums,
             x, y, z, chi, cell, nu, p.energy,
             jnp.ones_like(x), scattered_now, d_sel,
-            p.kx, p.ky, p.kz, orig_idx, peel_events, dtype)
+            p.kx, p.ky, p.kz, orig_idx, peel_events, dtype,
+            stokes_in=(p.q, p.u, p.v))
 
         tau = jnp.where(interacting, random_exp(k_tau2, tau.shape, dtype), tau)
         n_inter = p.n_inter + interacting.astype(jnp.int32)
@@ -620,13 +694,15 @@ def make_final_step(geometry, dt, st, density, jnu_var_id, jnu_var_frac,
                 jnp.where(p.reprocessed, ORIG_DUST_EMIT, ORIG_SOURCE_EMIT))
             binned_acc = bin_escaped(bgroup, n_theta, n_phi, binned_acc,
                                      x, y, z, p.kx, p.ky, p.kz, p.nu,
-                                     p.energy, orig_escape, escaped, dtype)
+                                     p.energy, orig_escape, escaped, dtype,
+                                     stokes_in=(p.q, p.u, p.v))
 
         packets = FinalPacketState(
             x=x, y=y, z=z, kx=kx, ky=ky, kz=kz, nu=nu, energy=p.energy,
             cell=cell, tau=tau, n_inter=n_inter, alive=alive,
             reprocessed=reprocessed, scattered=scattered_flag,
-            chi=chi, kappa=kappa, albedo=albedo)
+            chi=chi, kappa=kappa, albedo=albedo,
+            q=q_new, u=u_new, v=v_new)
 
         return dict(packets=packets, key=key, budget=budget,
                     energy_current=energy_current, accums=accums,
@@ -659,7 +735,8 @@ def _run_final_jit(geometry, dt, st, density, jnu_var_id, jnu_var_frac,
         reprocessed=jnp.zeros((B,), dtype=bool),
         scattered=jnp.zeros((B,), dtype=bool),
         chi=zeros(B, n_dust), kappa=zeros(B, n_dust),
-        albedo=zeros(B, n_dust))
+        albedo=zeros(B, n_dust),
+        q=zeros(B), u=zeros(B), v=zeros(B))
 
     accums = [init_peel_accum(g, dtype) for g in groups]
     binned = None
