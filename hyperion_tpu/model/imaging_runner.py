@@ -54,6 +54,7 @@ def run_imaging(model, out, geometry, dt, st, density, specific_energy,
         kill_on_absorb=model.kill_on_absorb,
         forced_first_interaction=model.forced_first_interaction,
         peeloff_scattering_only=model.raytracing,
+        n_reabs_max=model.n_reabs_max,
         binned_group=binned_group, binned_dims=binned_dims,
         ffi_algorithm=model.forced_first_interaction_algorithm,
         ffi_baes16_xi=model.forced_first_interaction_baes16_xi)

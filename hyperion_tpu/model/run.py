@@ -172,6 +172,7 @@ def run_model(model, filename, batch_size=None, dtype=None, parallel=False):
             n_inter_max=model.n_inter_max,
             kill_on_scatter=model.kill_on_scatter,
             kill_on_absorb=model.kill_on_absorb,
+            n_reabs_max=model.n_reabs_max,
             minimum_specific_energy=min_se,
             check_convergence=model.check_convergence,
             convergence_absolute=getattr(model, 'convergence_absolute', 0.0),

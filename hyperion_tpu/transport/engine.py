@@ -38,6 +38,8 @@ class PacketState(NamedTuple):
     tau: jnp.ndarray           # optical depth remaining to next interaction
     n_inter: jnp.ndarray       # interaction count
     n_mrw: jnp.ndarray         # MRW step count since emission
+    n_reabs: jnp.ndarray       # successive source re-absorption count
+    reemit_src: jnp.ndarray    # source row to re-emit from (-1 = none)
     alive: jnp.ndarray         # bool
     chi: jnp.ndarray           # (B, n_dust) cached extinction at nu
     kappa: jnp.ndarray         # (B, n_dust) cached absorption at nu
@@ -120,19 +122,45 @@ def make_lucy_step(geometry, dt, st, density, jnu_var_id, jnu_var_frac,
     dtype = density.dtype
     n_cells = density.shape[1]
 
-    from .stable import emit_packets
+    from .stable import emit_packets, nearest_source_intersection
+
+    # Source re-absorption is compiled in only when the model actually has
+    # intersecting (finite-radius spherical) sources — static host decision
+    # (ref: find_nearest_source is a no-op when no source has intersect set,
+    # source.f90:206-227).
+    reabs_on = bool(config.get('source_intersect', False))
+    n_reabs_max = int(config.get('n_reabs_max', 0))
 
     def refill(carry):
-        """Re-emit packets into dead lanes while budget remains
-        (replaces mp_n_photons chunk scheduling)."""
+        """Re-emit packets into dead lanes while budget remains (replaces
+        mp_n_photons chunk scheduling), and re-emit source-re-absorbed
+        packets from their absorbing source (ref iter_lucy.f90:158-183:
+        emit(reemit=.true.) keeps the photon's energy; after n_reabs_max
+        successive re-absorptions the photon is killed)."""
         p = carry.packets
-        key, k_e, k_tau = jax.random.split(carry.key, 3)
+        key, k_e, k_tau, k_s = jax.random.split(carry.key, 4)
         dead = ~p.alive
+        if reabs_on:
+            pending = p.reemit_src >= 0
+            dead = dead & ~pending
         rank = jnp.cumsum(dead.astype(carry.budget.dtype))
-        can = dead & (rank <= carry.budget)
-        n_new = jnp.sum(can.astype(carry.budget.dtype))
+        can_fresh = dead & (rank <= carry.budget)
+        n_new = jnp.sum(can_fresh.astype(carry.budget.dtype))
 
-        new = emit_packets(st, k_e, p.x.shape[0], dtype)
+        if reabs_on:
+            u = jax.random.uniform(k_s, p.x.shape, dtype=dtype)
+            src_fresh = jnp.clip(
+                jnp.searchsorted(st.lum_cdf, u, side='left'),
+                0, st.n_sources - 1).astype(jnp.int32)
+            reabs_kill = pending & (p.n_reabs + 1 > n_reabs_max)
+            reemit_ok = pending & ~reabs_kill
+            src = jnp.where(reemit_ok, p.reemit_src, src_fresh)
+            can = can_fresh | reemit_ok
+            new = emit_packets(st, k_e, p.x.shape[0], dtype, src=src)
+        else:
+            can = can_fresh
+            new = emit_packets(st, k_e, p.x.shape[0], dtype)
+
         cell_new = geometry.find_cell(new['x'], new['y'], new['z'],
                                       new['kx'], new['ky'], new['kz'])
         chi_n, kappa_n, alb_n = update_optical_constants(dt, new['nu'])
@@ -146,11 +174,16 @@ def make_lucy_step(geometry, dt, st, density, jnu_var_id, jnu_var_frac,
             x=m(p.x, new['x']), y=m(p.y, new['y']), z=m(p.z, new['z']),
             kx=m(p.kx, new['kx']), ky=m(p.ky, new['ky']), kz=m(p.kz, new['kz']),
             nu=m(p.nu, new['nu']),
-            energy=jnp.where(can, jnp.asarray(1.0, dtype), p.energy),
+            energy=jnp.where(can_fresh, jnp.asarray(1.0, dtype), p.energy),
             cell=jnp.where(can, cell_new, p.cell),
             tau=m(p.tau, tau_new),
-            n_inter=jnp.where(can, 0, p.n_inter),
+            n_inter=jnp.where(can_fresh, 0, p.n_inter),
             n_mrw=jnp.where(can, 0, p.n_mrw),
+            n_reabs=(jnp.where(can_fresh, 0,
+                               jnp.where(reemit_ok, p.n_reabs + 1, p.n_reabs))
+                     if reabs_on else p.n_reabs),
+            reemit_src=(jnp.where(pending, -1, p.reemit_src)
+                        if reabs_on else p.reemit_src),
             alive=p.alive | (can & (cell_new != ESCAPED)),
             chi=m(p.chi, chi_n), kappa=m(p.kappa, kappa_n),
             albedo=m(p.albedo, alb_n),
@@ -158,12 +191,16 @@ def make_lucy_step(geometry, dt, st, density, jnu_var_id, jnu_var_frac,
         # Photons emitted outside the grid simply escape (the reference
         # errors out; the model layer validates sources are inside the grid)
         n_photons_cell = carry.n_photons_cell.at[
-            jnp.where(can & (cell_new != ESCAPED), cell_new, n_cells)
+            jnp.where(can_fresh & (cell_new != ESCAPED), cell_new, n_cells)
         ].add(1, mode='drop')
+        killed_int = carry.killed_int
+        if reabs_on:
+            killed_int = killed_int + jnp.sum(
+                reabs_kill.astype(killed_int.dtype))
         return carry._replace(
             packets=packets, key=key, budget=carry.budget - n_new,
             energy_current=carry.energy_current + n_new.astype(dtype),
-            n_photons_cell=n_photons_cell)
+            killed_int=killed_int, n_photons_cell=n_photons_cell)
 
     def step(carry):
         carry = refill(carry)
@@ -244,34 +281,49 @@ def make_lucy_step(geometry, dt, st, density, jnu_var_id, jnu_var_frac,
                           t_wall)
         d_move = jnp.where(hits_wall, t_wall, t_int)
 
+        # --- source re-absorption: if the segment passes through an
+        # intersecting source's surface, the photon is absorbed by it —
+        # no deposit, no move; flagged for re-emission at the next refill
+        # (ref: grid_propagate_3d.f90:101,142-145,190-193 — the reference
+        # also skips the segment's deposit on re-absorption) ---
+        if reabs_on:
+            t_src, src_row = nearest_source_intersection(
+                st, p.x, p.y, p.z, p.kx, p.ky, p.kz)
+            hits_src = active & (d_move > t_src)
+            hits_wall = hits_wall & ~hits_src
+            moving = active & ~hits_src
+        else:
+            hits_src = jnp.zeros_like(active)
+            moving = active
+
         # --- deposit energy: specific_energy_sum += ds * kappa_d * E
         # (ref: grid_propagate_3d.f90:153-154, 205-206) ---
         energy_sum = carry.energy_sum
-        dep_idx = jnp.where(active, cell_safe, n_cells)
+        dep_idx = jnp.where(moving, cell_safe, n_cells)
         for d in range(n_dust):
-            dep = jnp.where(active & (rho_rows[:, d] > 0.0),
+            dep = jnp.where(moving & (rho_rows[:, d] > 0.0),
                             d_move * p.kappa[:, d] * p.energy, 0.0)
             energy_sum = energy_sum.at[d, dep_idx].add(dep, mode='drop')
 
         # --- move (masked: MRW-jumped lanes already moved this step) ---
-        x = jnp.where(active, p.x + d_move * p.kx, p.x)
-        y = jnp.where(active, p.y + d_move * p.ky, p.y)
-        z = jnp.where(active, p.z + d_move * p.kz, p.z)
-        x, y, z = geometry.snap(x, y, z, ax, wall_coord, active & hits_wall)
-        tau = jnp.where(active,
+        x = jnp.where(moving, p.x + d_move * p.kx, p.x)
+        y = jnp.where(moving, p.y + d_move * p.ky, p.y)
+        z = jnp.where(moving, p.z + d_move * p.kz, p.z)
+        x, y, z = geometry.snap(x, y, z, ax, wall_coord, moving & hits_wall)
+        tau = jnp.where(moving,
                         jnp.where(hits_wall, p.tau - tau_wall,
                                   jnp.zeros_like(p.tau)),
                         p.tau)
 
         # --- wall crossing ---
-        cell = jnp.where(active & hits_wall, next_cell, p.cell)
-        escaped = active & hits_wall & (cell == ESCAPED)
+        cell = jnp.where(moving & hits_wall, next_cell, p.cell)
+        escaped = moving & hits_wall & (cell == ESCAPED)
         n_photons_cell = carry.n_photons_cell.at[
-            jnp.where(active & hits_wall & (cell != ESCAPED), cell, n_cells)
+            jnp.where(moving & hits_wall & (cell != ESCAPED), cell, n_cells)
         ].add(1, mode='drop')
 
         # --- interaction (absorb+re-emit or scatter) ---
-        interacting = active & ~hits_wall
+        interacting = moving & ~hits_wall
         d_sel = select_dust(k_dust, p.chi, rho_rows)
         alb = jnp.take_along_axis(p.albedo, d_sel[:, None], axis=-1)[:, 0]
         coin = jax.random.uniform(k_coin, alb.shape, dtype=dtype)
@@ -315,12 +367,24 @@ def make_lucy_step(geometry, dt, st, density, jnu_var_id, jnu_var_frac,
         killed_now = killed_now | (interacting & kill_flag)
 
         # escaped/killed_now are subsets of the propagating lanes, so lanes
-        # that did an MRW jump this step stay alive through here
-        alive = p.alive & ~escaped & ~killed_now
+        # that did an MRW jump this step stay alive through here.
+        # Source-hit lanes go dormant until the next refill re-emits them.
+        alive = p.alive & ~escaped & ~killed_now & ~hits_src
+
+        if reabs_on:
+            reemit_src = jnp.where(hits_src, src_row, p.reemit_src)
+            # a completed flight (reached an interaction) resets the
+            # successive re-absorption counter (ref iter_lucy.f90:160 the
+            # ia loop restarts per re-absorption episode)
+            n_reabs = jnp.where(interacting, 0, p.n_reabs)
+        else:
+            reemit_src = p.reemit_src
+            n_reabs = p.n_reabs
 
         packets = PacketState(x=x, y=y, z=z, kx=kx, ky=ky, kz=kz, nu=nu,
                               energy=p.energy, cell=cell, tau=tau,
-                              n_inter=n_inter, n_mrw=n_mrw, alive=alive,
+                              n_inter=n_inter, n_mrw=n_mrw, n_reabs=n_reabs,
+                              reemit_src=reemit_src, alive=alive,
                               chi=chi, kappa=kappa, albedo=albedo)
         return LucyCarry(
             packets=packets, key=key, budget=carry.budget,
@@ -357,6 +421,8 @@ def lucy_iteration_impl(geometry, dt, st, density, jnu_var_id, jnu_var_frac,
         cell=jnp.zeros((B,), dtype=jnp.int32),
         tau=zeros(B), n_inter=jnp.zeros((B,), dtype=jnp.int32),
         n_mrw=jnp.zeros((B,), dtype=jnp.int32),
+        n_reabs=jnp.zeros((B,), dtype=jnp.int32),
+        reemit_src=jnp.full((B,), -1, dtype=jnp.int32),
         alive=jnp.zeros((B,), dtype=bool),
         chi=zeros(B, n_dust), kappa=zeros(B, n_dust),
         albedo=zeros(B, n_dust))
@@ -376,13 +442,20 @@ def lucy_iteration_impl(geometry, dt, st, density, jnu_var_id, jnu_var_frac,
 
     max_steps = config['max_steps']
 
+    reabs_on = bool(config.get('source_intersect', False))
+
     def cond(carry):
-        return ((carry.budget > 0) | jnp.any(carry.packets.alive)) & \
-               (carry.n_steps < max_steps)
+        live = jnp.any(carry.packets.alive)
+        if reabs_on:
+            live = live | jnp.any(carry.packets.reemit_src >= 0)
+        return ((carry.budget > 0) | live) & (carry.n_steps < max_steps)
 
     carry = jax.lax.while_loop(cond, step, carry)
     # Lanes still alive at max_steps are killed (bounded-step safety net)
     killed_int = carry.killed_int + jnp.sum(carry.packets.alive.astype(carry.killed_int.dtype))
+    if reabs_on:
+        killed_int = killed_int + jnp.sum(
+            (carry.packets.reemit_src >= 0).astype(killed_int.dtype))
     return (carry.energy_sum, carry.energy_current, carry.n_photons_cell,
             killed_int, carry.killed_geo, carry.n_steps)
 

@@ -492,6 +492,8 @@ class FinalPacketState(NamedTuple):
     cell: jnp.ndarray
     tau: jnp.ndarray
     n_inter: jnp.ndarray
+    n_reabs: jnp.ndarray       # successive source re-absorption count
+    reemit_src: jnp.ndarray    # source row to re-emit from (-1 = none)
     alive: jnp.ndarray
     reprocessed: jnp.ndarray   # ever re-emitted by dust
     scattered: jnp.ndarray     # scattered since last emission
@@ -512,23 +514,48 @@ def make_final_step(geometry, dt, st, density, jnu_var_id, jnu_var_frac,
     dtype = density.dtype
     n_cells = density.shape[1]
 
-    from .stable import emit_packets
+    from .stable import emit_packets, nearest_source_intersection
 
     ffi = config['forced_first_interaction']
     peeloff_scattering_only = config['peeloff_scattering_only']
+    reabs_on = bool(config.get('source_intersect', False))
+    n_reabs_max = int(config.get('n_reabs_max', 0))
 
     def step(carry):
         p = carry['packets']
         key, k_e, k_tau, k_ffi, k_dust, k_coin, k_nu, k_dir, k_mu, k_phi, \
-            k_tau2 = jax.random.split(carry['key'], 11)
+            k_tau2, k_s = jax.random.split(carry['key'], 12)
 
         # ---- refill + emission peeloff + FFI --------------------------------
         dead = ~p.alive
+        if reabs_on:
+            pending = p.reemit_src >= 0
+            dead = dead & ~pending
         rank = jnp.cumsum(dead.astype(carry['budget'].dtype))
-        can = dead & (rank <= carry['budget'])
-        n_new = jnp.sum(can.astype(carry['budget'].dtype))
+        can_fresh = dead & (rank <= carry['budget'])
+        n_new = jnp.sum(can_fresh.astype(carry['budget'].dtype))
 
-        new = emit_packets(st, k_e, p.x.shape[0], dtype)
+        killed_int = carry['killed_int']
+        if reabs_on:
+            # re-emission from the absorbing source, keeping the photon's
+            # energy; FFI never applies to re-emits (ref iter_final.f90:
+            # 219-243: emit(reemit=.true.) then plain random_exp)
+            u = jax.random.uniform(k_s, p.x.shape, dtype=dtype)
+            src_fresh = jnp.clip(
+                jnp.searchsorted(st.lum_cdf, u, side='left'),
+                0, st.n_sources - 1).astype(jnp.int32)
+            reabs_kill = pending & (p.n_reabs + 1 > n_reabs_max)
+            reemit_ok = pending & ~reabs_kill
+            src = jnp.where(reemit_ok, p.reemit_src, src_fresh)
+            can = can_fresh | reemit_ok
+            new = emit_packets(st, k_e, p.x.shape[0], dtype, src=src)
+            killed_int = killed_int + jnp.sum(
+                reabs_kill.astype(killed_int.dtype))
+        else:
+            reemit_ok = jnp.zeros_like(can_fresh)
+            can = can_fresh
+            new = emit_packets(st, k_e, p.x.shape[0], dtype)
+
         cell_new = geometry.find_cell(new['x'], new['y'], new['z'],
                                       new['kx'], new['ky'], new['kz'])
         chi_n, kappa_n, alb_n = update_optical_constants(dt, new['nu'])
@@ -537,7 +564,7 @@ def make_final_step(geometry, dt, st, density, jnu_var_id, jnu_var_frac,
         m2 = lambda old, new_: jnp.where(can[:, None], new_, old)
 
         emitted = can & (cell_new != ESCAPED)
-        energy_new = jnp.asarray(1.0, dtype) * jnp.ones_like(new['x'])
+        energy_new = jnp.where(reemit_ok, p.energy, jnp.asarray(1.0, dtype))
 
         # Forced first interaction (WR99 or Baes16 composite biasing):
         # reweight the packet and draw the first interaction depth inside
@@ -547,14 +574,16 @@ def make_final_step(geometry, dt, st, density, jnu_var_id, jnu_var_frac,
             tau_esc = escape_tau_walk(geometry, density, chi_n,
                                       new['x'], new['y'], new['z'],
                                       new['kx'], new['ky'], new['kz'],
-                                      cell_new, emitted)
-            applies = tau_esc > 1e-10
+                                      cell_new, emitted & ~reemit_ok)
+            applies = (tau_esc > 1e-10) & ~reemit_ok
             tau_new, w_ffi = sample_first_interaction(
                 k_ffi, tau_esc, applies, config['ffi_algorithm'],
                 config['ffi_baes16_xi'], dtype)
-            energy_new = energy_new * w_ffi
+            energy_peel = energy_new
+            energy_new = energy_new * jnp.where(reemit_ok, 1.0, w_ffi)
         else:
             tau_new = random_exp(k_tau, p.tau.shape, dtype)
+            energy_peel = energy_new
 
         packets = FinalPacketState(
             x=m(p.x, new['x']), y=m(p.y, new['y']), z=m(p.z, new['z']),
@@ -563,7 +592,12 @@ def make_final_step(geometry, dt, st, density, jnu_var_id, jnu_var_frac,
             energy=m(p.energy, energy_new),
             cell=jnp.where(can, cell_new, p.cell),
             tau=m(p.tau, tau_new),
-            n_inter=jnp.where(can, 0, p.n_inter),
+            n_inter=jnp.where(can_fresh, 0, p.n_inter),
+            n_reabs=(jnp.where(can_fresh, 0,
+                               jnp.where(reemit_ok, p.n_reabs + 1, p.n_reabs))
+                     if reabs_on else p.n_reabs),
+            reemit_src=(jnp.where(pending, -1, p.reemit_src)
+                        if reabs_on else p.reemit_src),
             alive=p.alive | (emitted & (energy_new > 0.0)),
             reprocessed=jnp.where(can, False, p.reprocessed),
             scattered=jnp.where(can, False, p.scattered),
@@ -573,18 +607,22 @@ def make_final_step(geometry, dt, st, density, jnu_var_id, jnu_var_frac,
             v=jnp.where(can, 0.0, p.v))
 
         accums = carry['accums']
-        if not peeloff_scattering_only:
-            # Emission peeloff: isotropic weight 1 with the pre-FFI energy
-            # (the FFI reweight applies to the *transported* photon only,
-            # ref iter_final.f90:120 peels before the forced interaction)
+        # Emission peeloff with the pre-FFI energy (the FFI reweight applies
+        # to the *transported* photon only; ref iter_final.f90:120 peels
+        # before the forced interaction). Re-emitted photons peel even in
+        # scattering-only mode "because this is a kind of scattering"
+        # (ref iter_final.f90:225-228).
+        peel_emit = (emitted & reemit_ok) if peeloff_scattering_only \
+            else emitted
+        if (not peeloff_scattering_only) or reabs_on:
             accums = peel_and_bin(
                 geometry, dt, density, groups, accums,
                 packets.x, packets.y, packets.z, packets.chi, packets.cell,
-                packets.nu, jnp.where(emitted, 1.0, 0.0),
+                packets.nu, jnp.where(peel_emit, energy_peel, 0.0),
                 jnp.ones_like(packets.x), jnp.zeros_like(emitted),
                 jnp.zeros_like(packets.cell), packets.kx, packets.ky,
                 packets.kz, jnp.full_like(packets.cell, ORIG_SOURCE_EMIT),
-                emitted, dtype)
+                peel_emit, dtype)
 
         p = packets
         budget = carry['budget'] - n_new
@@ -603,17 +641,31 @@ def make_final_step(geometry, dt, st, density, jnu_var_id, jnu_var_frac,
                           t_wall)
         d_move = jnp.where(hits_wall, t_wall, t_int)
 
-        x = p.x + d_move * p.kx
-        y = p.y + d_move * p.ky
-        z = p.z + d_move * p.kz
-        x, y, z = geometry.snap(x, y, z, ax, wall_coord, active & hits_wall)
-        tau = jnp.where(hits_wall, p.tau - tau_wall, jnp.zeros_like(p.tau))
+        # source re-absorption: segment crosses a source surface -> dormant
+        # until re-emitted at the next refill (ref grid_integrate_noenergy,
+        # grid_propagate_3d.f90:283,327-330)
+        if reabs_on:
+            t_src, src_row = nearest_source_intersection(
+                st, p.x, p.y, p.z, p.kx, p.ky, p.kz)
+            hits_src = active & (d_move > t_src)
+            hits_wall = hits_wall & ~hits_src
+            moving = active & ~hits_src
+        else:
+            hits_src = jnp.zeros_like(active)
+            moving = active
 
-        cell = jnp.where(active & hits_wall, next_cell, p.cell)
-        escaped = active & hits_wall & (cell == ESCAPED)
+        x = jnp.where(moving, p.x + d_move * p.kx, p.x)
+        y = jnp.where(moving, p.y + d_move * p.ky, p.y)
+        z = jnp.where(moving, p.z + d_move * p.kz, p.z)
+        x, y, z = geometry.snap(x, y, z, ax, wall_coord, moving & hits_wall)
+        tau = jnp.where(moving & hits_wall, p.tau - tau_wall,
+                        jnp.where(moving, jnp.zeros_like(p.tau), p.tau))
+
+        cell = jnp.where(moving & hits_wall, next_cell, p.cell)
+        escaped = moving & hits_wall & (cell == ESCAPED)
 
         # ---- interaction ----------------------------------------------------
-        interacting = active & ~hits_wall
+        interacting = moving & ~hits_wall
         d_sel = select_dust(k_dust, p.chi, rho_rows)
         alb = jnp.take_along_axis(p.albedo, d_sel[:, None], axis=-1)[:, 0]
         coin = jax.random.uniform(k_coin, alb.shape, dtype=dtype)
@@ -682,7 +734,13 @@ def make_final_step(geometry, dt, st, density, jnu_var_id, jnu_var_frac,
                     (config['kill_on_absorb'] & absorbed)
         killed_now = killed_now | (interacting & kill_flag)
 
-        alive = active & ~escaped & ~killed_now
+        alive = active & ~escaped & ~killed_now & ~hits_src
+        if reabs_on:
+            reemit_src = jnp.where(hits_src, src_row, p.reemit_src)
+            n_reabs = jnp.where(interacting, 0, p.n_reabs)
+        else:
+            reemit_src = p.reemit_src
+            n_reabs = p.n_reabs
 
         # --- binned images: bin photons that escape the grid ---------------
         binned_acc = carry.get('binned_acc')
@@ -699,7 +757,8 @@ def make_final_step(geometry, dt, st, density, jnu_var_id, jnu_var_frac,
 
         packets = FinalPacketState(
             x=x, y=y, z=z, kx=kx, ky=ky, kz=kz, nu=nu, energy=p.energy,
-            cell=cell, tau=tau, n_inter=n_inter, alive=alive,
+            cell=cell, tau=tau, n_inter=n_inter, n_reabs=n_reabs,
+            reemit_src=reemit_src, alive=alive,
             reprocessed=reprocessed, scattered=scattered_flag,
             chi=chi, kappa=kappa, albedo=albedo,
             q=q_new, u=u_new, v=v_new)
@@ -707,8 +766,8 @@ def make_final_step(geometry, dt, st, density, jnu_var_id, jnu_var_frac,
         return dict(packets=packets, key=key, budget=budget,
                     energy_current=energy_current, accums=accums,
                     binned_acc=binned_acc,
-                    killed_int=carry['killed_int'] +
-                    jnp.sum(killed_now.astype(carry['killed_int'].dtype)),
+                    killed_int=killed_int +
+                    jnp.sum(killed_now.astype(killed_int.dtype)),
                     n_steps=carry['n_steps'] + 1)
 
     return step
@@ -731,6 +790,8 @@ def _run_final_jit(geometry, dt, st, density, jnu_var_id, jnu_var_frac,
         nu=jnp.ones((B,), dtype=dtype), energy=zeros(B),
         cell=jnp.zeros((B,), dtype=jnp.int32),
         tau=zeros(B), n_inter=jnp.zeros((B,), dtype=jnp.int32),
+        n_reabs=jnp.zeros((B,), dtype=jnp.int32),
+        reemit_src=jnp.full((B,), -1, dtype=jnp.int32),
         alive=jnp.zeros((B,), dtype=bool),
         reprocessed=jnp.zeros((B,), dtype=bool),
         scattered=jnp.zeros((B,), dtype=bool),
@@ -756,20 +817,29 @@ def _run_final_jit(geometry, dt, st, density, jnu_var_id, jnu_var_frac,
                            jnu_var_frac, groups, config, binned=binned)
     max_steps = config['max_steps']
 
+    reabs_on = bool(config.get('source_intersect', False))
+
     def cond(carry):
-        return ((carry['budget'] > 0) | jnp.any(carry['packets'].alive)) & \
-               (carry['n_steps'] < max_steps)
+        live = jnp.any(carry['packets'].alive)
+        if reabs_on:
+            live = live | jnp.any(carry['packets'].reemit_src >= 0)
+        return ((carry['budget'] > 0) | live) & (carry['n_steps'] < max_steps)
 
     carry = jax.lax.while_loop(cond, step, carry)
+    killed_int = carry['killed_int']
+    if reabs_on:
+        killed_int = killed_int + jnp.sum(
+            (carry['packets'].reemit_src >= 0).astype(killed_int.dtype))
     return (carry['accums'], carry['binned_acc'], carry['energy_current'],
-            carry['killed_int'], carry['n_steps'])
+            killed_int, carry['n_steps'])
 
 
 def run_final(geometry, dt, st, density, specific_energy, groups, key,
               n_photons, batch_size=65536, n_inter_max=1000000,
               kill_on_scatter=False, kill_on_absorb=False,
               forced_first_interaction=True, peeloff_scattering_only=False,
-              max_steps=100000000, binned_group=None, binned_dims=None,
+              n_reabs_max=0, max_steps=100000000,
+              binned_group=None, binned_dims=None,
               ffi_algorithm='wr99', ffi_baes16_xi=0.5):
     """Run the imaging iteration; returns (accums, energy_current, stats)."""
     from .lucy import compute_jnu_var
@@ -786,6 +856,8 @@ def run_final(geometry, dt, st, density, specific_energy, groups, key,
                     ('peeloff_scattering_only', bool(peeloff_scattering_only)),
                     ('ffi_algorithm', str(ffi_algorithm)),
                     ('ffi_baes16_xi', float(ffi_baes16_xi)),
+                    ('n_reabs_max', int(n_reabs_max)),
+                    ('source_intersect', bool(st.any_intersect)),
                     ('max_steps', int(max_steps)))
     accums, binned_acc, energy_current, killed_int, n_steps = _run_final_jit(
         geometry, dt, st, density, jnu_var_id, jnu_var_frac, list(groups),

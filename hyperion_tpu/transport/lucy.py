@@ -130,7 +130,7 @@ class LucyResult(NamedTuple):
 
 def run_lucy(geometry, dt, st, density, key, n_photons, n_iterations,
              batch_size=65536, n_inter_max=1000000, kill_on_scatter=False,
-             kill_on_absorb=False, max_steps=100000000,
+             kill_on_absorb=False, n_reabs_max=0, max_steps=100000000,
              minimum_specific_energy=None, check_convergence=False,
              convergence_absolute=0.0, convergence_relative=1.02,
              convergence_percentile=100.0, initial_specific_energy=None,
@@ -156,6 +156,10 @@ def run_lucy(geometry, dt, st, density, key, n_photons, n_iterations,
                     ('kill_on_scatter', bool(kill_on_scatter)),
                     ('kill_on_absorb', bool(kill_on_absorb)),
                     ('n_mrw_max', int(n_mrw_max)),
+                    ('n_reabs_max', int(n_reabs_max)),
+                    # compile the re-absorption path only when a source
+                    # can actually intersect photon paths
+                    ('source_intersect', bool(st.any_intersect)),
                     ('max_steps', int(max_steps)))
 
     se_prev = None

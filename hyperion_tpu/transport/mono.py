@@ -174,6 +174,8 @@ class MonoPacketState(NamedTuple):
     cell: jnp.ndarray
     tau: jnp.ndarray
     n_inter: jnp.ndarray
+    n_reabs: jnp.ndarray       # successive source re-absorption count
+    reemit_src: jnp.ndarray    # source row to re-emit from (-1 = none)
     alive: jnp.ndarray
     reprocessed: jnp.ndarray
     scattered: jnp.ndarray
@@ -190,8 +192,10 @@ def _make_mono_step(geometry, dt, st, density, groups, config, mode,
     ffi = config['forced_first_interaction']
     threshold = config['energy_threshold']
     peeloff_scattering_only = config['peeloff_scattering_only']
+    reabs_on = bool(config.get('source_intersect', False))
+    n_reabs_max = int(config.get('n_reabs_max', 0))
 
-    from .stable import emit_packets
+    from .stable import emit_packets, nearest_source_intersection
     from .raytrace import sample_position_in_cell
 
     def chi_rows_of(B):
@@ -200,22 +204,45 @@ def _make_mono_step(geometry, dt, st, density, groups, config, mode,
     def step(carry):
         p = carry['packets']
         key, k_e, k_tau, k_ffi, k_dust, k_mu, k_phi, k_tau2, k_pos, k_dir, \
-            k_cell = jax.random.split(carry['key'], 11)
+            k_cell, k_s = jax.random.split(carry['key'], 12)
         B = p.x.shape[0]
 
         # ---- refill ---------------------------------------------------------
         dead = ~p.alive
+        if reabs_on:
+            pending = p.reemit_src >= 0
+            dead = dead & ~pending
         rank = jnp.cumsum(dead.astype(carry['budget'].dtype))
-        can = dead & (rank <= carry['budget'])
-        n_new = jnp.sum(can.astype(carry['budget'].dtype))
+        can_fresh = dead & (rank <= carry['budget'])
+        n_new = jnp.sum(can_fresh.astype(carry['budget'].dtype))
+
+        killed_reabs = jnp.asarray(0, dtype=carry['killed_int'].dtype)
+        if reabs_on:
+            # re-emit at the SAME frequency, keeping the photon's energy
+            # (ref iter_final_mono.f90:289-295: emit(reemit, inu=p%inu))
+            reabs_kill = pending & (p.n_reabs + 1 > n_reabs_max)
+            reemit_ok = pending & ~reabs_kill
+            killed_reabs = jnp.sum(reabs_kill.astype(killed_reabs.dtype))
+        else:
+            reemit_ok = jnp.zeros_like(can_fresh)
 
         if mode == 'source':
-            new = emit_packets(st, k_e, B, dtype)
+            if reabs_on:
+                u = jax.random.uniform(k_s, (B,), dtype=dtype)
+                src_fresh = jnp.clip(
+                    jnp.searchsorted(st.lum_cdf, u, side='left'),
+                    0, st.n_sources - 1).astype(jnp.int32)
+                src = jnp.where(reemit_ok, p.reemit_src, src_fresh)
+                new = emit_packets(st, k_e, B, dtype, src=src)
+            else:
+                new = emit_packets(st, k_e, B, dtype)
+            can = can_fresh | reemit_ok
             nx, ny, nz = new['x'], new['y'], new['z']
             nkx, nky, nkz = new['kx'], new['ky'], new['kz']
-            e_new = src_energy[new['source']]
-            orig_emit = ORIG_SOURCE_EMIT
+            e_new = jnp.where(reemit_ok, p.energy, src_energy[new['source']])
+            orig_emit_rows = jnp.full((B,), ORIG_SOURCE_EMIT, dtype=jnp.int32)
             reproc_new = jnp.zeros((B,), dtype=bool)
+            cell_new = geometry.find_cell(nx, ny, nz, nkx, nky, nkz)
         else:
             # uniform dust pick, cell from the per-dust CDF
             ud = jax.random.uniform(k_dust, (B,), dtype=dtype)
@@ -233,23 +260,43 @@ def _make_mono_step(geometry, dt, st, density, groups, config, mode,
                                                  dtype)
             nkx, nky, nkz = isotropic_direction(k_dir, (B,), dtype)
             e_new = mean_prob[d_pick]
-            orig_emit = ORIG_DUST_EMIT
+            orig_emit_rows = jnp.full((B,), ORIG_DUST_EMIT, dtype=jnp.int32)
             reproc_new = jnp.ones((B,), dtype=bool)
+            cell_new = cell_pick
+            can = can_fresh
+            if reabs_on:
+                # dust-emitted photons re-absorbed by a source re-emit
+                # FROM that source (surface position + outward direction)
+                new = emit_packets(st, k_e, B, dtype,
+                                   src=jnp.maximum(p.reemit_src, 0))
+                nx = jnp.where(reemit_ok, new['x'], nx)
+                ny = jnp.where(reemit_ok, new['y'], ny)
+                nz = jnp.where(reemit_ok, new['z'], nz)
+                nkx = jnp.where(reemit_ok, new['kx'], nkx)
+                nky = jnp.where(reemit_ok, new['ky'], nky)
+                nkz = jnp.where(reemit_ok, new['kz'], nkz)
+                e_new = jnp.where(reemit_ok, p.energy, e_new)
+                orig_emit_rows = jnp.where(reemit_ok, ORIG_SOURCE_EMIT,
+                                           orig_emit_rows)
+                reproc_new = jnp.where(reemit_ok, False, reproc_new)
+                cell_new = jnp.where(
+                    reemit_ok,
+                    geometry.find_cell(nx, ny, nz, nkx, nky, nkz), cell_new)
+                can = can_fresh | reemit_ok
 
-        cell_new = geometry.find_cell(nx, ny, nz, nkx, nky, nkz) \
-            if mode == 'source' else cell_pick
         emitted = can & (cell_new != ESCAPED) & (e_new > 0.0)
 
         m = lambda old, new_: jnp.where(can, new_, old)
         chi_rows = chi_rows_of(B)
 
-        # WR99/Baes16 FFI for new lanes (ref iter_final_mono.f90:253-270)
+        # WR99/Baes16 FFI for new lanes (ref iter_final_mono.f90:253-270);
+        # re-emits from re-absorption always use a plain exponential
         if ffi:
             from .ffi import sample_first_interaction
             tau_esc = escape_tau_walk(geometry, density, chi_rows,
                                       nx, ny, nz, nkx, nky, nkz,
-                                      cell_new, emitted)
-            applies = tau_esc > 1e-10
+                                      cell_new, emitted & ~reemit_ok)
+            applies = (tau_esc > 1e-10) & ~reemit_ok
             tau_new, w_ffi = sample_first_interaction(
                 k_ffi, tau_esc, applies, config['ffi_algorithm'],
                 config['ffi_baes16_xi'], dtype)
@@ -262,28 +309,36 @@ def _make_mono_step(geometry, dt, st, density, groups, config, mode,
             x=m(p.x, nx), y=m(p.y, ny), z=m(p.z, nz),
             kx=m(p.kx, nkx), ky=m(p.ky, nky), kz=m(p.kz, nkz),
             energy=m(p.energy, e_ffi),
-            energy_initial=m(p.energy_initial, e_new),
+            energy_initial=jnp.where(can_fresh, e_new, p.energy_initial),
             cell=jnp.where(can, cell_new, p.cell),
             tau=m(p.tau, tau_new),
-            n_inter=jnp.where(can, 0, p.n_inter),
+            n_inter=jnp.where(can_fresh, 0, p.n_inter),
+            n_reabs=(jnp.where(can_fresh, 0,
+                               jnp.where(reemit_ok, p.n_reabs + 1, p.n_reabs))
+                     if reabs_on else p.n_reabs),
+            reemit_src=(jnp.where(pending, -1, p.reemit_src)
+                        if reabs_on else p.reemit_src),
             alive=p.alive | emitted,
             reprocessed=jnp.where(can, reproc_new, p.reprocessed),
             scattered=jnp.where(can, False, p.scattered))
 
         accums = carry['accums']
-        if not peeloff_scattering_only:
-            # emission peeloff with the PRE-FFI energy (ref peels before
-            # the forced interaction reweight)
+        # emission peeloff with the PRE-FFI energy (ref peels before the
+        # forced interaction reweight); re-emits peel even in
+        # scattering-only mode (ref iter_final_mono.f90:292-295)
+        peel_emit = (emitted & reemit_ok) if peeloff_scattering_only \
+            else emitted
+        if (not peeloff_scattering_only) or reabs_on:
             accums = peel_and_bin(
                 geometry, dt, density, groups, accums,
                 packets.x, packets.y, packets.z, chi_rows, packets.cell,
                 jnp.full((B,), nu_value, dtype=dtype),
-                jnp.where(emitted, e_new, 0.0),
+                jnp.where(peel_emit, e_new, 0.0),
                 jnp.ones((B,), dtype=dtype), jnp.zeros((B,), dtype=bool),
                 jnp.zeros((B,), dtype=jnp.int32),
                 packets.kx, packets.ky, packets.kz,
-                jnp.full((B,), orig_emit, dtype=jnp.int32),
-                emitted, dtype, inu_global=inu_global)
+                orig_emit_rows,
+                peel_emit, dtype, inu_global=inu_global)
 
         p = packets
         budget = carry['budget'] - n_new

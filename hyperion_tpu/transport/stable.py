@@ -44,10 +44,18 @@ class SourceTables(NamedTuple):
     spec_nu: jnp.ndarray        # (n_emit, n_snu)
     spec_cdf: jnp.ndarray       # (n_emit, n_snu)
     energy_total: jnp.ndarray   # scalar: sum of luminosities
+    # Sources photons can be re-absorbed by (spherical sources,
+    # ref source_type.f90:96,148 intersect flag)
+    intersect: jnp.ndarray      # (n_emit,) bool
 
     @property
     def n_sources(self):
         return self.type_code.shape[0]
+
+    @property
+    def any_intersect(self):
+        import numpy as _np
+        return bool(_np.asarray(self.intersect).any())
 
 
 def _spectrum_cdf(source, n_grid):
@@ -153,11 +161,13 @@ def build_source_tables(sources, dtype=jnp.float32, n_spec=400,
     lum = np.array([r['luminosity'] for r in rows])
     lum_cdf = np.cumsum(lum) / lum.sum()
     lum_cdf[-1] = 1.0
+    codes = np.array([r['code'] for r in rows], np.int32)
+    radii = np.array([r['radius'] for r in rows], float)
     f = lambda a: jnp.asarray(np.asarray(a, float), dtype=dtype)
     return SourceTables(
-        type_code=jnp.asarray(np.array([r['code'] for r in rows], np.int32)),
+        type_code=jnp.asarray(codes),
         position=f([r['position'] for r in rows]),
-        radius=f([r['radius'] for r in rows]),
+        radius=f(radii),
         limb=jnp.asarray(np.array([r['limb'] for r in rows], bool)),
         direction=f([r['direction'] for r in rows]),
         bounds=f([r['bounds'] for r in rows]),
@@ -165,18 +175,24 @@ def build_source_tables(sources, dtype=jnp.float32, n_spec=400,
         spec_nu=f([r['nu'] for r in rows]),
         spec_cdf=f([r['cdf'] for r in rows]),
         energy_total=f(lum.sum()),
+        intersect=jnp.asarray((codes == SPHERE) & (radii > 0.0)),
     )
 
 
-def emit_packets(st, key, n, dtype):
+def emit_packets(st, key, n, dtype, src=None):
     """Sample n fresh packets: returns dict of arrays (position, direction,
     nu, source id). Energies are 1 (normalized at iteration end, ref
-    iter_lucy.f90:219 update_energy_abs(energy_total/energy_current))."""
+    iter_lucy.f90:219 update_energy_abs(energy_total/energy_current)).
+
+    With ``src`` given ((n,) int32 rows), emit from those sources instead of
+    sampling the luminosity CDF — the re-emission path for photons
+    re-absorbed by a source (ref emit(reemit=...), source.f90:134-141)."""
     k_src, k_nu, k_dir, k_pos, k_pos2 = jax.random.split(key, 5)
 
-    u = jax.random.uniform(k_src, (n,), dtype=dtype)
-    src = jnp.searchsorted(st.lum_cdf, u, side='left').astype(jnp.int32)
-    src = jnp.clip(src, 0, st.n_sources - 1)
+    if src is None:
+        u = jax.random.uniform(k_src, (n,), dtype=dtype)
+        src = jnp.searchsorted(st.lum_cdf, u, side='left').astype(jnp.int32)
+        src = jnp.clip(src, 0, st.n_sources - 1)
     code = st.type_code[src]
 
     nu = sample_cdf_rows2(st.spec_nu, st.spec_cdf, src,
@@ -247,6 +263,31 @@ def emit_packets(st, key, n, dtype):
     kz = jnp.where(pp, d[:, 2], kz)
 
     return dict(x=x, y=y, z=z, kx=kx, ky=ky, kz=kz, nu=nu, source=src)
+
+
+def nearest_source_intersection(st, x, y, z, kx, ky, kz):
+    """Distance along the ray to the nearest intersecting source's surface
+    (ref find_nearest_source + source_intersect, source.f90:206-227,
+    source_type.f90:359-396). Returns (t, source_row); t = +inf where no
+    intersecting source lies ahead."""
+    big = jnp.asarray(jnp.finfo(x.dtype).max / 8, dtype=x.dtype)
+    rx = x[:, None] - st.position[None, :, 0]
+    ry = y[:, None] - st.position[None, :, 1]
+    rz = z[:, None] - st.position[None, :, 2]
+    b = rx * kx[:, None] + ry * ky[:, None] + rz * kz[:, None]
+    c = rx * rx + ry * ry + rz * rz - st.radius[None, :] ** 2
+    disc = b * b - c
+    sq = jnp.sqrt(jnp.maximum(disc, 0.0))
+    t1 = -b - sq
+    t2 = -b + sq
+    # exclusion zone ∝ radius: a photon just (re-)emitted on the surface
+    # sits within f32 rounding of c = 0 and must not self-intersect
+    eps = 1e-3 * st.radius[None, :]
+    t = jnp.where(t1 > eps, t1, jnp.where(t2 > eps, t2, big))
+    t = jnp.where((disc > 0.0) & st.intersect[None, :], t, big)
+    row = jnp.argmin(t, axis=-1).astype(jnp.int32)
+    t_min = jnp.take_along_axis(t, row[:, None], axis=-1)[:, 0]
+    return t_min, row
 
 
 def _sample_limb_mu(u):
