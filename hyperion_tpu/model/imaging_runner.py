@@ -134,7 +134,8 @@ def _run_imaging_mono(model, out, geometry, dt, st, density, specific_energy,
         forced_first_interaction=model.forced_first_interaction,
         peeloff_scattering_only=False,
         ffi_algorithm=model.forced_first_interaction_algorithm,
-        ffi_baes16_xi=model.forced_first_interaction_baes16_xi)
+        ffi_baes16_xi=model.forced_first_interaction_baes16_xi,
+        n_reabs_max=model.n_reabs_max)
 
     g_peeled = out.create_group('Peeled')
     for i, (conf, group, acc) in enumerate(zip(model.peeled_output, groups,

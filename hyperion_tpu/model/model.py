@@ -102,7 +102,12 @@ class Model(FreezableClass, RunConf):
     # -- grid setters ---------------------------------------------------------
 
     def set_grid(self, grid):
-        if isinstance(grid, GridView):
+        from ..grid import AMRGrid
+        if isinstance(grid, AMRGrid):
+            # copy geometry only — densities are added via AMRGridView
+            # objects afterwards (ref model.py:889-891)
+            self.grid = AMRGrid(grid)
+        elif isinstance(grid, GridView):
             self.grid = grid._grid.__class__(grid)
             self.grid.quantities = {}
         else:
@@ -374,17 +379,20 @@ class Model(FreezableClass, RunConf):
         else:
             g = f
 
-        # Grid
+        # Grid — assigned directly (not via set_grid): the file carries the
+        # density/specific_energy quantities that set_grid would discard
+        # (this is the engine-side reader, ref setup_rt.f90:160-228)
         grid_type = g['Grid/Geometry'].attrs['grid_type'].decode('ascii')
-        from ..grid import OctreeGrid
+        from ..grid import OctreeGrid, AMRGrid, VoronoiGrid
         grid_classes = {'car': CartesianGrid, 'cyl_pol': CylindricalPolarGrid,
-                        'sph_pol': SphericalPolarGrid, 'oct': OctreeGrid}
+                        'sph_pol': SphericalPolarGrid, 'oct': OctreeGrid,
+                        'amr': AMRGrid, 'vor': VoronoiGrid}
         if grid_type not in grid_classes:
             raise NotImplementedError("Grid type %s not yet supported"
                                       % grid_type)
         grid = grid_classes[grid_type]()
         grid.read(g['Grid'])
-        self.set_grid(grid)
+        self.grid = grid
 
         # Dust
         self.dust = []

@@ -140,7 +140,8 @@ def run_model(model, filename, batch_size=None, dtype=None, parallel=False):
     geometry = build_geometry_tables(model.grid, dtype)
     dt = build_dust_tables(dusts, dtype=dtype)
     st = build_source_tables(model.sources, dtype=dtype,
-                             length_scale=geometry.length_scale)
+                             length_scale=geometry.length_scale,
+                             sample_evenly=model.sample_sources_evenly)
     density = _density_array(model, dtype, geometry.length_scale)
     n_cells = density.shape[1]
 
@@ -174,6 +175,7 @@ def run_model(model, filename, batch_size=None, dtype=None, parallel=False):
             kill_on_absorb=model.kill_on_absorb,
             n_reabs_max=model.n_reabs_max,
             minimum_specific_energy=min_se,
+            enforce_energy_range=model.enforce_energy_range,
             check_convergence=model.check_convergence,
             convergence_absolute=getattr(model, 'convergence_absolute', 0.0),
             convergence_relative=getattr(model, 'convergence_relative', 1.02),

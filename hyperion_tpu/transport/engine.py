@@ -146,6 +146,9 @@ def make_lucy_step(geometry, dt, st, density, jnu_var_id, jnu_var_frac,
         rank = jnp.cumsum(dead.astype(carry.budget.dtype))
         can_fresh = dead & (rank <= carry.budget)
         n_new = jnp.sum(can_fresh.astype(carry.budget.dtype))
+        # fresh packets carry the per-source energy weight (1 unless
+        # sample_sources_evenly); energy_current sums actual energies
+        # (ref source.f90:162-163)
 
         if reabs_on:
             u = jax.random.uniform(k_s, p.x.shape, dtype=dtype)
@@ -174,7 +177,7 @@ def make_lucy_step(geometry, dt, st, density, jnu_var_id, jnu_var_frac,
             x=m(p.x, new['x']), y=m(p.y, new['y']), z=m(p.z, new['z']),
             kx=m(p.kx, new['kx']), ky=m(p.ky, new['ky']), kz=m(p.kz, new['kz']),
             nu=m(p.nu, new['nu']),
-            energy=jnp.where(can_fresh, jnp.asarray(1.0, dtype), p.energy),
+            energy=jnp.where(can_fresh, new['energy'], p.energy),
             cell=jnp.where(can, cell_new, p.cell),
             tau=m(p.tau, tau_new),
             n_inter=jnp.where(can_fresh, 0, p.n_inter),
@@ -197,9 +200,10 @@ def make_lucy_step(geometry, dt, st, density, jnu_var_id, jnu_var_frac,
         if reabs_on:
             killed_int = killed_int + jnp.sum(
                 reabs_kill.astype(killed_int.dtype))
+        e_new = jnp.sum(jnp.where(can_fresh, new['energy'], 0.0))
         return carry._replace(
             packets=packets, key=key, budget=carry.budget - n_new,
-            energy_current=carry.energy_current + n_new.astype(dtype),
+            energy_current=carry.energy_current + e_new.astype(dtype),
             killed_int=killed_int, n_photons_cell=n_photons_cell)
 
     def step(carry):

@@ -564,7 +564,7 @@ def make_final_step(geometry, dt, st, density, jnu_var_id, jnu_var_frac,
         m2 = lambda old, new_: jnp.where(can[:, None], new_, old)
 
         emitted = can & (cell_new != ESCAPED)
-        energy_new = jnp.where(reemit_ok, p.energy, jnp.asarray(1.0, dtype))
+        energy_new = jnp.where(reemit_ok, p.energy, new['energy'])
 
         # Forced first interaction (WR99 or Baes16 composite biasing):
         # reweight the packet and draw the first interaction depth inside
@@ -626,7 +626,8 @@ def make_final_step(geometry, dt, st, density, jnu_var_id, jnu_var_frac,
 
         p = packets
         budget = carry['budget'] - n_new
-        energy_current = carry['energy_current'] + n_new.astype(dtype)
+        energy_current = carry['energy_current'] + jnp.sum(
+            jnp.where(can_fresh, new['energy'], 0.0)).astype(dtype)
 
         # ---- propagation substep (no energy deposit) ------------------------
         active = p.alive

@@ -72,25 +72,59 @@ def apply_minimum_specific_energy(specific_energy, minimum):
     return jnp.maximum(specific_energy, jnp.asarray(minimum)[:, None])
 
 
-def sublimate_dust(dt, density, specific_energy):
-    """Apply per-dust sublimation (ref: sublimate_dust,
-    grid_physics_3d.f90:420-498). Modes: 0 none, 1 fast (remove dust),
-    2 slow (reduce density), 3 cap (cap specific energy)."""
-    mode = dt.sublimation_mode[:, None]
-    e_sub = dt.sublimation_energy[:, None]
-    exceed = specific_energy > e_sub
+def enforce_energy_limits(dt, specific_energy, minimum_specific_energy,
+                          enforce_range):
+    """Floor at the user minimum, then (when ``enforce_energy_range``, the
+    reference default) clip every cell — empty ones included — into the
+    dust's tabulated specific-energy range
+    (ref: check_energy_abs, grid_physics_3d.f90:555-601)."""
+    se = specific_energy
+    if minimum_specific_energy is not None:
+        se = jnp.maximum(
+            se, jnp.asarray(minimum_specific_energy, se.dtype)[:, None])
+    if enforce_range:
+        lo = dt.me_specific_energy[:, 0][:, None]
+        hi = dt.me_specific_energy[:, -1][:, None]
+        se = jnp.clip(se, lo, hi)
+    return se
 
-    # fast: remove all dust where E > E_sub
-    density = jnp.where((mode == 1) & exceed, 0.0, density)
-    # slow: rho *= (E_sub/E)^? — the reference scales density by
-    # exp(1 - E/E_sub)-style damping; it uses rho *= E_sub/E * exp(...)
-    # Simplified conservative form: rho *= E_sub / E (same fixed point).
-    damp = jnp.where(exceed, e_sub / jnp.maximum(specific_energy, 1e-300), 1.0)
-    density = jnp.where(mode == 2, density * damp, density)
-    # slow + cap: cap the specific energy at the sublimation value
-    specific_energy = jnp.where(((mode == 2) | (mode == 3)) & exceed, e_sub,
-                                specific_energy)
-    return density, specific_energy
+
+def _chi_rosseland(dt, d, e):
+    e = jnp.clip(e, dt.me_specific_energy[d, 0], dt.me_specific_energy[d, -1])
+    return interp_loglog(dt.me_specific_energy[d], dt.me_chi_rosseland[d], e)
+
+
+def sublimate_dust(dt, density, specific_energy,
+                   minimum_specific_energy=None):
+    """Apply per-dust sublimation (ref: sublimate_dust,
+    grid_physics_3d.f90:420-498). Modes: 0 none; 1 fast — remove dust,
+    reset E to the minimum; 2 slow — scale density by
+    (E_sub/E)·(χ_R(E)/χ_R(E_sub))² and cap E; 3 cap — cap E only.
+    Runs host-side between iterations (modes are static per dust)."""
+    modes = np.asarray(dt.sublimation_mode)
+    rows_rho, rows_se = [], []
+    for d in range(dt.n_dust):
+        mode = int(modes[d])
+        rho, e = density[d], specific_energy[d]
+        if mode:
+            e_sub = dt.sublimation_energy[d]
+            exceed = e > e_sub
+        if mode == 1:
+            rho = jnp.where(exceed, 0.0, rho)
+            e_min = 0.0 if minimum_specific_energy is None else \
+                minimum_specific_energy[d]
+            e = jnp.where(exceed, jnp.asarray(e_min, e.dtype), e)
+        elif mode == 2:
+            ratio = _chi_rosseland(dt, d, e) / _chi_rosseland(dt, d, e_sub)
+            rho = jnp.where(
+                exceed,
+                rho * e_sub / jnp.maximum(e, 1e-300) * ratio ** 2, rho)
+            e = jnp.where(exceed, e_sub, e)
+        elif mode == 3:
+            e = jnp.where(exceed, e_sub, e)
+        rows_rho.append(rho)
+        rows_se.append(e)
+    return jnp.stack(rows_rho), jnp.stack(rows_se)
 
 
 def specific_energy_converged(se_prev, se, percentile, absolute, relative,
@@ -131,7 +165,8 @@ class LucyResult(NamedTuple):
 def run_lucy(geometry, dt, st, density, key, n_photons, n_iterations,
              batch_size=65536, n_inter_max=1000000, kill_on_scatter=False,
              kill_on_absorb=False, n_reabs_max=0, max_steps=100000000,
-             minimum_specific_energy=None, check_convergence=False,
+             minimum_specific_energy=None, enforce_energy_range=True,
+             check_convergence=False,
              convergence_absolute=0.0, convergence_relative=1.02,
              convergence_percentile=100.0, initial_specific_energy=None,
              use_mrw=False, mrw_gamma=1.0, n_mrw_max=1000,
@@ -189,9 +224,9 @@ def run_lucy(geometry, dt, st, density, key, n_photons, n_iterations,
             / geometry.length_scale ** 2
         specific_energy = normalize_specific_energy(
             energy_sum, jnp.asarray(scale, dtype=dtype), geometry.volumes)
-        if minimum_specific_energy is not None:
-            specific_energy = apply_minimum_specific_energy(
-                specific_energy, jnp.asarray(minimum_specific_energy, dtype=dtype))
+        specific_energy = enforce_energy_limits(
+            dt, specific_energy, minimum_specific_energy,
+            enforce_energy_range)
         if use_pda and pda_tables is not None:
             # diffusion fill-in for photon-starved cells, host-side
             # (ref iter_lucy.f90:228 solve_pda on rank 0)
@@ -203,7 +238,11 @@ def run_lucy(geometry, dt, st, density, key, n_photons, n_iterations,
             if verbose and n_pda:
                 print("[pda] corrected %d photon-starved cells" % n_pda)
             specific_energy = jnp.asarray(se_fixed, dtype=dtype)
-        density, specific_energy = sublimate_dust(dt, density, specific_energy)
+        density, specific_energy = sublimate_dust(
+            dt, density, specific_energy, minimum_specific_energy)
+        specific_energy = enforce_energy_limits(
+            dt, specific_energy, minimum_specific_energy,
+            enforce_energy_range)
 
         stats = dict(killed_int=int(killed_int), killed_geo=int(killed_geo),
                      n_steps=int(n_steps),

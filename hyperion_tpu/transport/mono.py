@@ -239,7 +239,9 @@ def _make_mono_step(geometry, dt, st, density, groups, config, mode,
             can = can_fresh | reemit_ok
             nx, ny, nz = new['x'], new['y'], new['z']
             nkx, nky, nkz = new['kx'], new['ky'], new['kz']
-            e_new = jnp.where(reemit_ok, p.energy, src_energy[new['source']])
+            e_new = jnp.where(reemit_ok, p.energy,
+                              src_energy[new['source']] *
+                              st.energy_weight[new['source']])
             orig_emit_rows = jnp.full((B,), ORIG_SOURCE_EMIT, dtype=jnp.int32)
             reproc_new = jnp.zeros((B,), dtype=bool)
             cell_new = geometry.find_cell(nx, ny, nz, nkx, nky, nkz)
@@ -356,16 +358,32 @@ def _make_mono_step(geometry, dt, st, density, groups, config, mode,
                           t_wall)
         d_move = jnp.where(hits_wall, t_wall, t_int)
 
-        x = p.x + d_move * p.kx
-        y = p.y + d_move * p.ky
-        z = p.z + d_move * p.kz
-        x, y, z = geometry.snap(x, y, z, ax, wall_coord, active & hits_wall)
-        tau = jnp.where(hits_wall, p.tau - tau_wall, jnp.zeros_like(p.tau))
-        cell = jnp.where(active & hits_wall, next_cell, p.cell)
-        escaped_now = active & hits_wall & (cell == ESCAPED)
+        # ---- source re-absorption: segment crosses an intersecting source's
+        # surface -> absorbed, re-emitted at the SAME frequency on the next
+        # refill (ref iter_final_mono.f90:278-295) ----
+        if reabs_on:
+            t_src, src_row = nearest_source_intersection(
+                st, p.x, p.y, p.z, p.kx, p.ky, p.kz)
+            hits_src = active & (d_move > t_src)
+            hits_wall = hits_wall & ~hits_src
+            moving = active & ~hits_src
+        else:
+            hits_src = jnp.zeros_like(active)
+            moving = active
+
+        x = jnp.where(moving, p.x + d_move * p.kx, p.x)
+        y = jnp.where(moving, p.y + d_move * p.ky, p.y)
+        z = jnp.where(moving, p.z + d_move * p.kz, p.z)
+        x, y, z = geometry.snap(x, y, z, ax, wall_coord, moving & hits_wall)
+        tau = jnp.where(moving,
+                        jnp.where(hits_wall, p.tau - tau_wall,
+                                  jnp.zeros_like(p.tau)),
+                        p.tau)
+        cell = jnp.where(moving & hits_wall, next_cell, p.cell)
+        escaped_now = moving & hits_wall & (cell == ESCAPED)
 
         # ---- forced scattering (ref interact(force_scatter=.true.)) --------
-        interacting = active & ~hits_wall
+        interacting = moving & ~hits_wall
         d_sel = select_dust(k_dust, chi_rows, rho_rows)
         energy = jnp.where(interacting, p.energy * albedo_vec[d_sel],
                            p.energy)
@@ -383,7 +401,14 @@ def _make_mono_step(geometry, dt, st, density, groups, config, mode,
             (n_inter > config['n_inter_max']) |
             bool(config['kill_on_scatter']) |
             (energy < p.energy_initial * threshold))
-        alive = active & ~escaped_now & ~killed_now
+        alive = active & ~escaped_now & ~killed_now & ~hits_src
+
+        if reabs_on:
+            reemit_src = jnp.where(hits_src, src_row, p.reemit_src)
+            n_reabs = jnp.where(interacting, 0, p.n_reabs)
+        else:
+            reemit_src = p.reemit_src
+            n_reabs = p.n_reabs
 
         # ---- scattering peeloff --------------------------------------------
         orig_idx = jnp.where(p.reprocessed, ORIG_DUST_SCAT, ORIG_SOURCE_SCAT)
@@ -400,7 +425,8 @@ def _make_mono_step(geometry, dt, st, density, groups, config, mode,
         packets = MonoPacketState(
             x=x, y=y, z=z, kx=kx, ky=ky, kz=kz, energy=energy,
             energy_initial=p.energy_initial, cell=cell, tau=tau,
-            n_inter=n_inter, alive=alive, reprocessed=p.reprocessed,
+            n_inter=n_inter, n_reabs=n_reabs, reemit_src=reemit_src,
+            alive=alive, reprocessed=p.reprocessed,
             scattered=p.scattered | interacting)
 
         return dict(packets=packets, key=key, budget=budget, accums=accums,
@@ -428,6 +454,8 @@ def _run_mono_pass(geometry, dt, st, density, groups, accums, key, n_photons,
         energy=zeros(B), energy_initial=zeros(B),
         cell=jnp.zeros((B,), dtype=jnp.int32),
         tau=zeros(B), n_inter=jnp.zeros((B,), dtype=jnp.int32),
+        n_reabs=jnp.zeros((B,), dtype=jnp.int32),
+        reemit_src=jnp.full((B,), -1, dtype=jnp.int32),
         alive=jnp.zeros((B,), dtype=bool),
         reprocessed=jnp.zeros((B,), dtype=bool),
         scattered=jnp.zeros((B,), dtype=bool))
@@ -442,10 +470,13 @@ def _run_mono_pass(geometry, dt, st, density, groups, accums, key, n_photons,
                            nu_value, inu_global, chi_vec, albedo_vec,
                            src_energy, cell_cdf, mean_prob)
     max_steps = config['max_steps']
+    reabs_on = bool(config.get('source_intersect', False))
 
     def cond(c):
-        return ((c['budget'] > 0) | jnp.any(c['packets'].alive)) & \
-               (c['n_steps'] < max_steps)
+        live = jnp.any(c['packets'].alive)
+        if reabs_on:
+            live = live | jnp.any(c['packets'].reemit_src >= 0)
+        return ((c['budget'] > 0) | live) & (c['n_steps'] < max_steps)
 
     carry = jax.lax.while_loop(cond, step, carry)
     return carry['accums'], carry['killed_int'], carry['n_steps']
@@ -456,7 +487,7 @@ def run_mono(geometry, dt, st, density, specific_energy, groups, key,
              batch_size=65536, n_inter_max=1000000, kill_on_scatter=False,
              forced_first_interaction=True, peeloff_scattering_only=False,
              energy_threshold=1e-10, max_steps=100000000, verbose=False,
-             ffi_algorithm='wr99', ffi_baes16_xi=0.5):
+             ffi_algorithm='wr99', ffi_baes16_xi=0.5, n_reabs_max=0):
     """Full monochromatic iteration over all frequencies.
 
     Returns (accums, stats). Flux normalization: source photons are scaled
@@ -481,6 +512,8 @@ def run_mono(geometry, dt, st, density, specific_energy, groups, key,
                     ('energy_threshold', float(energy_threshold)),
                     ('ffi_algorithm', str(ffi_algorithm)),
                     ('ffi_baes16_xi', float(ffi_baes16_xi)),
+                    ('source_intersect', bool(st.any_intersect)),
+                    ('n_reabs_max', int(n_reabs_max)),
                     ('max_steps', int(max_steps)))
 
     # per-frequency opacities (host -> device scalars)

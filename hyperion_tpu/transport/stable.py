@@ -41,6 +41,10 @@ class SourceTables(NamedTuple):
     bounds: jnp.ndarray         # (n_emit, 3, 2) for extern_box
     luminosity: jnp.ndarray     # (n_emit,)
     lum_cdf: jnp.ndarray        # (n_emit,) cumulative, last == 1
+    # per-row initial packet energy: 1 for luminosity-proportional sampling;
+    # L_group * n_groups / L_tot when sampling sources evenly
+    # (ref source.f90:162: p%energy * luminosity%pdf(id) * n_sources)
+    energy_weight: jnp.ndarray  # (n_emit,)
     spec_nu: jnp.ndarray        # (n_emit, n_snu)
     spec_cdf: jnp.ndarray       # (n_emit, n_snu)
     energy_total: jnp.ndarray   # scalar: sum of luminosities
@@ -90,19 +94,22 @@ def _spectrum_cdf(source, n_grid):
 
 
 def build_source_tables(sources, dtype=jnp.float32, n_spec=400,
-                        length_scale=1.0):
+                        length_scale=1.0, sample_evenly=False):
     """Build SourceTables from a list of Source objects.
 
     PointSourceCollection is expanded into one emission row per point (the
     reference treats the collection as one source with an internal position
-    PDF; expanding rows gives the same sampling distribution).
+    PDF; expanding rows gives the same sampling distribution). With
+    ``sample_evenly`` every *top-level* source gets equal pick probability
+    and packets carry energy L_source*n_sources/L_tot instead of 1
+    (ref source.f90:118-121,162).
     """
     from ..sources import (PointSource, PointSourceCollection, SphericalSource,
                            ExternalSphericalSource, ExternalBoxSource,
                            PlaneParallelSource, MapSource)
 
     rows = []
-    for s in sources:
+    for i_top, s in enumerate(sources):
         s._check_all_set()
         if isinstance(s, PointSourceCollection):
             nu, cdf = _spectrum_cdf(s, n_spec)
@@ -112,13 +119,13 @@ def build_source_tables(sources, dtype=jnp.float32, n_spec=400,
                                  direction=(0, 0, 1),
                                  bounds=np.zeros((3, 2)),
                                  luminosity=float(s.luminosity[i]),
-                                 nu=nu, cdf=cdf))
+                                 nu=nu, cdf=cdf, group=i_top))
             continue
         nu, cdf = _spectrum_cdf(s, n_spec)
         row = dict(code=POINT, position=(0.0, 0.0, 0.0), radius=0.0,
                    limb=False, direction=(0.0, 0.0, 1.0),
                    bounds=np.zeros((3, 2)), luminosity=float(s.luminosity),
-                   nu=nu, cdf=cdf)
+                   nu=nu, cdf=cdf, group=i_top)
         if isinstance(s, PointSource):
             row['code'] = POINT
             row['position'] = s.position
@@ -159,7 +166,18 @@ def build_source_tables(sources, dtype=jnp.float32, n_spec=400,
         r['radius'] = r['radius'] / L
         r['bounds'] = np.asarray(r['bounds'], float) / L
     lum = np.array([r['luminosity'] for r in rows])
-    lum_cdf = np.cumsum(lum) / lum.sum()
+    groups = np.array([r['group'] for r in rows])
+    n_groups = len(sources)
+    if sample_evenly and n_groups > 1:
+        # equal pick probability per top-level source, luminosity-split
+        # within a collection; packets carry a compensating energy weight
+        l_group = np.array([lum[groups == g].sum() for g in range(n_groups)])
+        p_row = lum / l_group[groups] / n_groups
+        lum_cdf = np.cumsum(p_row)
+        energy_weight = l_group[groups] * n_groups / lum.sum()
+    else:
+        lum_cdf = np.cumsum(lum) / lum.sum()
+        energy_weight = np.ones(len(rows))
     lum_cdf[-1] = 1.0
     codes = np.array([r['code'] for r in rows], np.int32)
     radii = np.array([r['radius'] for r in rows], float)
@@ -172,6 +190,7 @@ def build_source_tables(sources, dtype=jnp.float32, n_spec=400,
         direction=f([r['direction'] for r in rows]),
         bounds=f([r['bounds'] for r in rows]),
         luminosity=f(lum), lum_cdf=f(lum_cdf),
+        energy_weight=f(energy_weight),
         spec_nu=f([r['nu'] for r in rows]),
         spec_cdf=f([r['cdf'] for r in rows]),
         energy_total=f(lum.sum()),
@@ -262,7 +281,8 @@ def emit_packets(st, key, n, dtype, src=None):
     ky = jnp.where(pp, d[:, 1], ky)
     kz = jnp.where(pp, d[:, 2], kz)
 
-    return dict(x=x, y=y, z=z, kx=kx, ky=ky, kz=kz, nu=nu, source=src)
+    return dict(x=x, y=y, z=z, kx=kx, ky=ky, kz=kz, nu=nu, source=src,
+                energy=st.energy_weight[src])
 
 
 def nearest_source_intersection(st, x, y, z, kx, ky, kz):

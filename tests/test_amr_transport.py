@@ -105,9 +105,11 @@ def test_amr_lucy():
                              dtype=jnp.float64,
                              length_scale=geo.length_scale)
     density = uniform_density(geo, 0.3)
+    # enforce_energy_range=False so untraversed masked cells stay exactly 0
+    # (the reference-default True floors every cell to the dust table min)
     res = run_lucy(geo, dt, st, density, jax.random.PRNGKey(2),
                    n_photons=50000, n_iterations=1, batch_size=4096,
-                   verbose=False)
+                   enforce_energy_range=False, verbose=False)
     assert res.killed_geo == 0
     assert res.killed_int == 0
     assert np.isclose(res.energy_current, 50000.0)
