@@ -9,7 +9,7 @@ import numpy as np
 
 
 def run_imaging(model, out, geometry, dt, st, density, specific_energy,
-                batch_size, dtype):
+                batch_size, dtype, mesh=None):
     import jax
     import jax.numpy as jnp
     from ..transport.imaging import (build_peel_group, build_binned_group,
@@ -24,7 +24,8 @@ def run_imaging(model, out, geometry, dt, st, density, specific_energy,
 
     if model._monochromatic:
         _run_imaging_mono(model, out, geometry, dt, st, density,
-                          specific_energy, groups, batch_size, dtype)
+                          specific_energy, groups, batch_size, dtype,
+                          mesh=mesh)
         return
 
     n_phot = model.n_photons.get('last')
@@ -57,7 +58,8 @@ def run_imaging(model, out, geometry, dt, st, density, specific_energy,
         n_reabs_max=model.n_reabs_max,
         binned_group=binned_group, binned_dims=binned_dims,
         ffi_algorithm=model.forced_first_interaction_algorithm,
-        ffi_baes16_xi=model.forced_first_interaction_baes16_xi)
+        ffi_baes16_xi=model.forced_first_interaction_baes16_xi,
+        mesh=mesh)
 
     scale = float(st.energy_total) / max(energy_current, 1e-300)
 
@@ -83,7 +85,7 @@ def run_imaging(model, out, geometry, dt, st, density, specific_energy,
                 geometry, dt, st, rt, var_grids, [group], density, k_ray,
                 n_ray_src, n_ray_dust, batch_size, dtype,
                 specific_energy=se if se is not None else
-                jnp.zeros_like(density))
+                jnp.zeros_like(density), mesh=mesh)
             ray_sed[gi] = seds[0]
             ray_img[gi] = imgs[0]
 
@@ -108,7 +110,7 @@ def run_imaging(model, out, geometry, dt, st, density, specific_energy,
 
 
 def _run_imaging_mono(model, out, geometry, dt, st, density, specific_energy,
-                      groups, batch_size, dtype):
+                      groups, batch_size, dtype, mesh=None):
     """Monochromatic imaging: exact-frequency source + dust passes
     (ref: do_final_mono; dispatched from main.f90:272-274)."""
     import jax
@@ -135,7 +137,7 @@ def _run_imaging_mono(model, out, geometry, dt, st, density, specific_energy,
         peeloff_scattering_only=False,
         ffi_algorithm=model.forced_first_interaction_algorithm,
         ffi_baes16_xi=model.forced_first_interaction_baes16_xi,
-        n_reabs_max=model.n_reabs_max)
+        n_reabs_max=model.n_reabs_max, mesh=mesh)
 
     g_peeled = out.create_group('Peeled')
     for i, (conf, group, acc) in enumerate(zip(model.peeled_output, groups,

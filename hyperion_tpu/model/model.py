@@ -449,6 +449,8 @@ class Model(FreezableClass, RunConf):
         if not overwrite and os.path.exists(filename):
             raise Exception("Output file exists and overwrite=False")
 
+        parallel = (n_processes if n_processes and n_processes > 1
+                    else bool(mpi))
         run_model(self, filename, batch_size=batch_size, dtype=dtype,
-                  parallel=mpi)
+                  parallel=parallel)
         return ModelOutput(filename)

@@ -122,15 +122,22 @@ def _pda_tables(model):
 
 
 def run_model(model, filename, batch_size=None, dtype=None, parallel=False):
-    """Execute the model and write the .rtout file."""
+    """Execute the model and write the .rtout file.
+
+    ``parallel``: False/1 = single device; True = all local devices;
+    int n = first n devices. Photon batches are data-parallel over the
+    resulting mesh in every Monte-Carlo stage (the analog of the reference's
+    ``mpirun -n N hyperion_*_mpi``, ref scripts/hyperion:60-92)."""
     import h5py
     import jax
     import jax.numpy as jnp
     from ..transport import (build_dust_tables, build_source_tables, run_lucy)
     from ..transport.lucy import specific_energy_to_temperature
+    from ..parallel.mesh import resolve_mesh
 
     t_start = time.time()
     dtype = _engine_dtype(dtype)
+    mesh = resolve_mesh(parallel)
 
     dusts = model._dust_objects()
     if not dusts:
@@ -185,7 +192,7 @@ def run_model(model, filename, batch_size=None, dtype=None, parallel=False):
             mrw_gamma=getattr(model, 'mrw_gamma', 1.0),
             n_mrw_max=getattr(model, 'n_inter_mrw_max', 1000),
             use_pda=model.pda, pda_tables=_pda_tables(model),
-            verbose=True, iteration_callback=callback)
+            mesh=mesh, verbose=True, iteration_callback=callback)
 
     # ---- write output -------------------------------------------------------
     out = h5py.File(filename, 'w')
@@ -231,7 +238,7 @@ def run_model(model, filename, batch_size=None, dtype=None, parallel=False):
         from .imaging_runner import run_imaging
         run_imaging(model, out, geometry, dt, st, density,
                     iterations[-1]['specific_energy'] if iterations else None,
-                    batch_size, dtype)
+                    batch_size, dtype, mesh=mesh)
 
     out.attrs['cpu_time'] = time.time() - t_start
     out.attrs['date_ended'] = np.bytes_(datetime.datetime.now().isoformat())

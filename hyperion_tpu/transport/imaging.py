@@ -774,10 +774,12 @@ def make_final_step(geometry, dt, st, density, jnu_var_id, jnu_var_frac,
     return step
 
 
-@partial(jax.jit, static_argnames=('batch_size', 'config_tuple', 'binned_dims'))
-def _run_final_jit(geometry, dt, st, density, jnu_var_id, jnu_var_frac,
-                   groups, key, n_photons, batch_size, config_tuple,
-                   binned_group=None, binned_dims=None):
+def final_iteration_impl(geometry, dt, st, density, jnu_var_id, jnu_var_frac,
+                         groups, key, n_photons, batch_size, config_tuple,
+                         binned_group=None, binned_dims=None):
+    """Un-jitted imaging-iteration body (also the per-device function under
+    shard_map for multi-chip runs; ref mp_collect_images,
+    src/mpi/mpi_routines.f90:363-471 for the reduction that follows)."""
     config = dict(config_tuple)
     n_dust = dt.n_dust
     dtype = density.dtype
@@ -835,14 +837,22 @@ def _run_final_jit(geometry, dt, st, density, jnu_var_id, jnu_var_frac,
             killed_int, carry['n_steps'])
 
 
+_run_final_jit = partial(jax.jit, static_argnames=('batch_size',
+                                                   'config_tuple',
+                                                   'binned_dims'))(
+    final_iteration_impl)
+
+
 def run_final(geometry, dt, st, density, specific_energy, groups, key,
               n_photons, batch_size=65536, n_inter_max=1000000,
               kill_on_scatter=False, kill_on_absorb=False,
               forced_first_interaction=True, peeloff_scattering_only=False,
               n_reabs_max=0, max_steps=100000000,
               binned_group=None, binned_dims=None,
-              ffi_algorithm='wr99', ffi_baes16_xi=0.5):
-    """Run the imaging iteration; returns (accums, energy_current, stats)."""
+              ffi_algorithm='wr99', ffi_baes16_xi=0.5, mesh=None):
+    """Run the imaging iteration; returns (accums, energy_current, stats).
+    With ``mesh`` the photon batch is data-parallel over the devices and the
+    image cubes come back psum-reduced (parallel/mesh.py)."""
     from .lucy import compute_jnu_var
     import jax.numpy as jnp_
 
@@ -860,9 +870,18 @@ def run_final(geometry, dt, st, density, specific_energy, groups, key,
                     ('n_reabs_max', int(n_reabs_max)),
                     ('source_intersect', bool(st.any_intersect)),
                     ('max_steps', int(max_steps)))
-    accums, binned_acc, energy_current, killed_int, n_steps = _run_final_jit(
-        geometry, dt, st, density, jnu_var_id, jnu_var_frac, list(groups),
-        key, n_photons, batch_size, config_tuple,
-        binned_group=binned_group, binned_dims=binned_dims)
+    if mesh is not None:
+        from ..parallel.mesh import run_final_sharded
+        accums, binned_acc, energy_current, killed_int, n_steps = \
+            run_final_sharded(
+                mesh, geometry, dt, st, density, jnu_var_id, jnu_var_frac,
+                list(groups), key, n_photons, batch_size, config_tuple,
+                binned_group=binned_group, binned_dims=binned_dims)
+    else:
+        accums, binned_acc, energy_current, killed_int, n_steps = \
+            _run_final_jit(
+                geometry, dt, st, density, jnu_var_id, jnu_var_frac,
+                list(groups), key, n_photons, batch_size, config_tuple,
+                binned_group=binned_group, binned_dims=binned_dims)
     return accums, binned_acc, float(energy_current), \
         dict(killed_int=int(killed_int), n_steps=int(n_steps))

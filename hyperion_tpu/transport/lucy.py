@@ -170,11 +170,13 @@ def run_lucy(geometry, dt, st, density, key, n_photons, n_iterations,
              convergence_absolute=0.0, convergence_relative=1.02,
              convergence_percentile=100.0, initial_specific_energy=None,
              use_mrw=False, mrw_gamma=1.0, n_mrw_max=1000,
-             use_pda=False, pda_tables=None,
+             use_pda=False, pda_tables=None, mesh=None,
              verbose=True, iteration_callback=None):
     """Run the Lucy loop: n_iterations (or until converged).
 
-    ``density`` is (n_dust, n_cells); returns a LucyResult.
+    ``density`` is (n_dust, n_cells); returns a LucyResult. With ``mesh``
+    the photon batch is data-parallel over the devices (psum-reduced
+    accumulators; see parallel/mesh.py).
     """
     from .engine import run_lucy_iteration
 
@@ -212,10 +214,19 @@ def run_lucy(geometry, dt, st, density, key, n_photons, n_iterations,
             from .mrw import prepare_mrw_tables
             mrw_tables = prepare_mrw_tables(dt, density, specific_energy,
                                             mrw_gamma, dtype)
-        energy_sum, energy_current, n_photons_cell, killed_int, killed_geo, \
-            n_steps = run_lucy_iteration(
-                geometry, dt, st, density, jnu_var_id, jnu_var_frac, k_it,
-                n_photons, batch_size, config_tuple, mrw=mrw_tables)
+        if mesh is not None:
+            from ..parallel.mesh import run_lucy_iteration_sharded
+            energy_sum, energy_current, n_photons_cell, killed_int, \
+                killed_geo, n_steps = run_lucy_iteration_sharded(
+                    mesh, geometry, dt, st, density, jnu_var_id,
+                    jnu_var_frac, k_it, n_photons, batch_size, config_tuple,
+                    mrw=mrw_tables)
+        else:
+            energy_sum, energy_current, n_photons_cell, killed_int, \
+                killed_geo, n_steps = run_lucy_iteration(
+                    geometry, dt, st, density, jnu_var_id, jnu_var_frac,
+                    k_it, n_photons, batch_size, config_tuple,
+                    mrw=mrw_tables)
 
         # Host-side float64 for the combined scale; the engine works in
         # lengths of geometry.length_scale so ds carries one factor of L and

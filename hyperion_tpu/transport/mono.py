@@ -438,10 +438,11 @@ def _make_mono_step(geometry, dt, st, density, groups, config, mode,
     return step
 
 
-@partial(jax.jit, static_argnames=('batch_size', 'config_tuple', 'mode'))
-def _run_mono_pass(geometry, dt, st, density, groups, accums, key, n_photons,
+def mono_pass_impl(geometry, dt, st, density, groups, accums, key, n_photons,
                    batch_size, config_tuple, mode, nu_value, inu_global,
                    chi_vec, albedo_vec, src_energy, cell_cdf, mean_prob):
+    """Un-jitted single-device mono pass (also the per-device function under
+    shard_map for multi-chip runs)."""
     config = dict(config_tuple)
     dtype = density.dtype
     B = batch_size
@@ -482,12 +483,18 @@ def _run_mono_pass(geometry, dt, st, density, groups, accums, key, n_photons,
     return carry['accums'], carry['killed_int'], carry['n_steps']
 
 
+_run_mono_pass = partial(jax.jit, static_argnames=('batch_size',
+                                                   'config_tuple', 'mode'))(
+    mono_pass_impl)
+
+
 def run_mono(geometry, dt, st, density, specific_energy, groups, key,
              frequencies, n_photons_sources, n_photons_dust, sources, dusts,
              batch_size=65536, n_inter_max=1000000, kill_on_scatter=False,
              forced_first_interaction=True, peeloff_scattering_only=False,
              energy_threshold=1e-10, max_steps=100000000, verbose=False,
-             ffi_algorithm='wr99', ffi_baes16_xi=0.5, n_reabs_max=0):
+             ffi_algorithm='wr99', ffi_baes16_xi=0.5, n_reabs_max=0,
+             mesh=None):
     """Full monochromatic iteration over all frequencies.
 
     Returns (accums, stats). Flux normalization: source photons are scaled
@@ -539,17 +546,33 @@ def run_mono(geometry, dt, st, density, specific_energy, groups, key,
     total_killed = 0
     total_steps = 0
 
+    if mesh is not None:
+        from ..parallel.mesh import run_mono_pass_sharded
+
+    def one_pass(accums, k, n_phot, mode, f_id, chi_f, alb_f, src_e_f,
+                 cell_cdf_f, mean_prob_f):
+        if mesh is not None:
+            return run_mono_pass_sharded(
+                mesh, geometry, dt, st, density, list(groups), accums, k,
+                n_phot, batch_size, config_tuple, mode,
+                jnp.asarray(frequencies[f_id], dtype=dtype),
+                jnp.asarray(f_id, dtype=jnp.int32), chi_f, alb_f, src_e_f,
+                cell_cdf_f, mean_prob_f)
+        return _run_mono_pass(
+            geometry, dt, st, density, list(groups), accums, k, n_phot,
+            batch_size, config_tuple, mode,
+            jnp.asarray(frequencies[f_id], dtype=dtype),
+            jnp.asarray(f_id, dtype=jnp.int32), chi_f, alb_f, src_e_f,
+            cell_cdf_f, mean_prob_f)
+
     for f_id in range(n_freq):
         key, k_s, k_d = jax.random.split(key, 3)
         zero_cdf = jnp.zeros((1, density.shape[1]), dtype=dtype)
 
         if n_photons_sources > 0:
             accums = [init_peel_accum(g, dtype) for g in groups]
-            accums, killed, steps = _run_mono_pass(
-                geometry, dt, st, density, list(groups), accums, k_s,
-                n_photons_sources, batch_size, config_tuple, 'source',
-                jnp.asarray(frequencies[f_id], dtype=dtype),
-                jnp.asarray(f_id, dtype=jnp.int32),
+            accums, killed, steps = one_pass(
+                accums, k_s, n_photons_sources, 'source', f_id,
                 chi_all[f_id], albedo_all[f_id],
                 jnp.asarray(src_e[:, f_id], dtype=dtype),
                 zero_cdf, jnp.zeros((1,), dtype=dtype))
@@ -565,11 +588,8 @@ def run_mono(geometry, dt, st, density, specific_energy, groups, key,
 
         if n_photons_dust > 0 and mean_prob[f_id].sum() > 0:
             accums = [init_peel_accum(g, dtype) for g in groups]
-            accums, killed, steps = _run_mono_pass(
-                geometry, dt, st, density, list(groups), accums, k_d,
-                n_photons_dust, batch_size, config_tuple, 'dust',
-                jnp.asarray(frequencies[f_id], dtype=dtype),
-                jnp.asarray(f_id, dtype=jnp.int32),
+            accums, killed, steps = one_pass(
+                accums, k_d, n_photons_dust, 'dust', f_id,
                 chi_all[f_id], albedo_all[f_id],
                 jnp.zeros((st.n_sources,), dtype=dtype),
                 jnp.asarray(cell_cdf[f_id], dtype=dtype),

@@ -143,7 +143,7 @@ def build_raytrace_tables(dusts, sources, dt, st, group, specific_energy,
 
 def run_raytracing(geometry, dt, st, rt, var_grids, groups, density, key,
                    n_ray_sources, n_ray_dust, batch_size, dtype,
-                   specific_energy=None, jnu_var_id=None):
+                   specific_energy=None, jnu_var_id=None, mesh=None):
     """Run the raytracing iteration for all peel groups; returns per-group
     (sed_extra, img_extra) arrays to add to the accumulators.
 
@@ -155,15 +155,29 @@ def run_raytracing(geometry, dt, st, rt, var_grids, groups, density, key,
     img_out = [np.zeros((g.n_view, g.n_y, g.n_x, g.n_nu, g.n_orig))
                for g in groups]
 
+    if mesh is not None:
+        from ..parallel.mesh import (run_raytrace_source_sharded,
+                                     run_raytrace_dust_sharded)
+        n_dev = mesh.devices.size
+    else:
+        n_dev = 1
+    per_trip = batch_size * n_dev
+
     # --- source photons: each carries L_total_sources / n ---------------------
     if n_ray_sources > 0:
         src_scale = float(st.energy_total) / n_ray_sources
         n_done = 0
         while n_done < n_ray_sources:
-            b = min(batch_size, n_ray_sources - n_done)
+            b = min(per_trip, n_ray_sources - n_done)
             key, k_e = jax.random.split(key)
-            contribs = _raytrace_source_batch(geometry, dt, st, rt, groups,
-                                              density, k_e, batch_size, b)
+            if mesh is not None:
+                contribs = run_raytrace_source_sharded(
+                    mesh, geometry, dt, st, rt, groups, density, k_e,
+                    batch_size, b)
+            else:
+                contribs = _raytrace_source_batch(geometry, dt, st, rt,
+                                                  groups, density, k_e,
+                                                  batch_size, b)
             for gi, (sed_c, img_c) in enumerate(contribs):
                 sed_out[gi] += np.asarray(sed_c, dtype=np.float64) * src_scale
                 img_out[gi] += np.asarray(img_c, dtype=np.float64) * src_scale
@@ -174,11 +188,17 @@ def run_raytracing(geometry, dt, st, rt, var_grids, groups, density, key,
         dust_scale = float(rt.total_grid_luminosity) / n_ray_dust
         n_done = 0
         while n_done < n_ray_dust:
-            b = min(batch_size, n_ray_dust - n_done)
+            b = min(per_trip, n_ray_dust - n_done)
             key, k_e = jax.random.split(key)
-            contribs = _raytrace_dust_batch(geometry, dt, rt, var_grids,
-                                            groups, density, specific_energy,
-                                            k_e, batch_size, b)
+            if mesh is not None:
+                contribs = run_raytrace_dust_sharded(
+                    mesh, geometry, dt, rt, var_grids, groups, density,
+                    specific_energy, k_e, batch_size, b)
+            else:
+                contribs = _raytrace_dust_batch(geometry, dt, rt, var_grids,
+                                                groups, density,
+                                                specific_energy, k_e,
+                                                batch_size, b)
             for gi, (sed_c, img_c) in enumerate(contribs):
                 sed_out[gi] += np.asarray(sed_c, dtype=np.float64) * dust_scale
                 img_out[gi] += np.asarray(img_c, dtype=np.float64) * dust_scale
@@ -187,10 +207,11 @@ def run_raytracing(geometry, dt, st, rt, var_grids, groups, density, key,
     return sed_out, img_out
 
 
-@partial(jax.jit, static_argnames=('batch_size', 'n_active'))
-def _raytrace_source_batch(geometry, dt, st, rt, groups, density, key,
-                           batch_size, n_active):
-    """One batch of source photons: emit, per-view column walk, bin."""
+def raytrace_source_batch_impl(geometry, dt, st, rt, groups, density, key,
+                               batch_size, n_active):
+    """One batch of source photons: emit, per-view column walk, bin.
+    ``n_active`` is traced (no recompile for partial batches; also the
+    per-device function under shard_map for multi-chip runs)."""
     from .stable import emit_packets
     B = batch_size
     dtype = density.dtype
@@ -228,9 +249,12 @@ def _raytrace_source_batch(geometry, dt, st, rt, groups, density, key,
     return out
 
 
-@partial(jax.jit, static_argnames=('batch_size', 'n_active'))
-def _raytrace_dust_batch(geometry, dt, rt, var_grids, groups, density,
-                         specific_energy, key, batch_size, n_active):
+_raytrace_source_batch = partial(jax.jit, static_argnames=('batch_size',))(
+    raytrace_source_batch_impl)
+
+
+def raytrace_dust_batch_impl(geometry, dt, rt, var_grids, groups, density,
+                             specific_energy, key, batch_size, n_active):
     """One batch of grid thermal photons: sample cells by luminosity,
     uniform position inside cell (approximated by the cell 'center' via a
     random point: we sample a random position on the cell's bounding sphere
@@ -278,6 +302,10 @@ def _raytrace_dust_batch(geometry, dt, rt, var_grids, groups, density,
             sed, img = _bin_vector(group, sed, img, iv, x, y, z, flux, orig)
         out.append((sed, img))
     return out
+
+
+_raytrace_dust_batch = partial(jax.jit, static_argnames=('batch_size',))(
+    raytrace_dust_batch_impl)
 
 
 def sample_position_in_cell(geometry, cell, key, dtype):
