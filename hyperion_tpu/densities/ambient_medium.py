@@ -1,50 +1,51 @@
-"""Constant-density ambient medium (ref: hyperion/densities/ambient_medium.py):
-density rho between rmin and rmax, with other components subtracted so the
-total density never falls below the ambient value."""
+"""Constant-density ambient medium (functional counterpart of
+hyperion/densities/ambient_medium.py): uniform rho between rmin and rmax.
+Components listed in ``subtract`` are deducted so that the *total* density
+never falls below the ambient floor when this structure is co-added with
+them.
+"""
 
 import numpy as np
 
 from ..util.validator import validate_scalar
 from .core import Density
 
+__all__ = ["AmbientMedium"]
+
 
 class AmbientMedium(Density):
 
+    _required = ("rho", "rmin", "rmax")
+
     def __init__(self, rho=None, rmin=None, rmax=None, subtract=None,
                  dust=None):
-        self._init_radii()
+        self._base_init()
         self.dust = dust
         self.rho = rho
         self.rmin = rmin
         self.rmax = rmax
-        self.subtract = subtract if subtract is not None else []
+        self.subtract = list(subtract) if subtract is not None else []
         self._freeze()
 
     @property
     def rho(self):
-        """Ambient density (g/cm^3)."""
+        """Ambient density level (g/cm^3)."""
         return self._rho
 
     @rho.setter
     def rho(self, value):
         if value is not None:
-            validate_scalar('rho', value, domain='positive')
-        self._rho = value
-
-    def _check_all_set(self):
-        for attr in ('rho', 'rmin', 'rmax'):
-            if getattr(self, attr) is None:
-                raise Exception("%s is not set" % attr)
+            validate_scalar("rho", value, domain="positive")
+        object.__setattr__(self, "_rho", value)
 
     def density(self, grid):
+        """Evaluate rho on a spherical polar grid (g/cm^3)."""
         from ..grid import SphericalPolarGrid
         if not isinstance(grid, SphericalPolarGrid):
             raise TypeError("grid should be a SphericalPolarGrid instance")
         self._check_all_set()
-        rho = np.ones(grid.gr.shape) * self.rho
-        rho[grid.gr < self.rmin] = 0.0
-        rho[grid.gr > self.rmax] = 0.0
-        for component in self.subtract:
-            rho = rho - component.density(grid)
-        rho[rho < 0] = 0.0
-        return rho
+        r = grid.gr
+        level = np.where((r >= self.rmin) & (r <= self.rmax), self.rho, 0.0)
+        for other in self.subtract:
+            level = level - other.density(grid)
+        return np.maximum(level, 0.0)

@@ -1,18 +1,20 @@
-"""Ulrich (1976) rotationally flattened infalling envelope
-(ref: hyperion/densities/ulrich_envelope.py).
+"""Ulrich (1976) rotationally flattened infalling envelope (functional
+counterpart of hyperion/densities/ulrich_envelope.py).
 
-rho = rho_0 (r/rc)^-3/2 (1 + mu/mu0)^-1/2 (mu/mu0 + 2 mu0^2 rc/r)^-1,
-with mu0 the streamline root of mu0^3 + mu0 (r/rc - 1) - mu (r/rc) = 0.
-The solver here is a vectorized trigonometric/Cardano cubic picking the
+    rho = rho_0 (r/rc)^-3/2 (1 + mu/mu0)^-1/2 (mu/mu0 + 2 mu0^2 rc/r)^-1,
+
+with mu0 the streamline root of ``mu0^3 + mu0 (r/rc - 1) - mu (r/rc) = 0``.
+The solver is a vectorized trigonometric/Cardano cubic that picks the
 physical root (same sign as mu, |mu0| <= 1), replacing the reference's
-per-branch complex-root bookkeeping (ulrich_envelope.py:18-115).
+per-branch complex-root bookkeeping.
 """
 
 import numpy as np
 
 from ..util.constants import pi, G
-from ..util.validator import validate_scalar
-from .core import Envelope
+from .core import Envelope, linked
+
+__all__ = ["UlrichEnvelope", "solve_mu0"]
 
 
 def solve_mu0(ratio, mu):
@@ -57,117 +59,78 @@ def solve_mu0(ratio, mu):
 
 class UlrichEnvelope(Envelope):
 
+    _required = ("rmin", "rmax", "rc")
+    _pairs = (("mdot", "rho_0"),)
+
+    mdot = linked("mdot", "rho_0", "_mdot_per_rho0", forward=True,
+                  doc="Infall rate (g/s).")
+    rho_0 = linked("rho_0", "mdot", "_mdot_per_rho0", forward=False,
+                   doc="Density factor (g/cm^3).")
+
     def __init__(self, mdot=None, rho_0=None, rmin=None, rmax=None, rc=None,
                  ambient_density=0.0, star=None):
-        self._mdot = None
-        self._rho_0 = None
-        Envelope.__init__(self)
+        object.__setattr__(self, "_mdot", None)
+        object.__setattr__(self, "_rho_0", None)
+        self._base_init()
         self.rmin = rmin
         self.rmax = rmax
         self.rc = rc
         if mdot is not None and rho_0 is not None:
             raise Exception("Cannot specify both mdot and rho_0")
-        self.mdot = mdot
-        if rho_0 is not None:
+        if mdot is not None:
+            self.mdot = mdot
+        elif rho_0 is not None:
             self.rho_0 = rho_0
         self.star = star
         self._freeze()
 
-    @property
-    def mdot(self):
-        """Infall rate (g/s)."""
-        if self._mdot is not None:
-            return self._mdot
-        if self._rho_0 is None:
-            return None
-        self._check_all_set()
+    def _mdot_per_rho0(self):
+        """Mdot / rho_0 = 4 pi sqrt(G M rc^3) for free-fall onto mass M."""
         if self.star is None or self.star.mass is None:
-            raise Exception("Stellar mass is undefined - cannot compute "
-                            "infall rate")
-        return self._rho_0 * (4.0 * pi *
-                              np.sqrt(G * self.star.mass * self.rc ** 3))
-
-    @mdot.setter
-    def mdot(self, value):
-        if value is not None:
-            validate_scalar('mdot', value, domain='positive')
-            self._rho_0 = None
-        self._mdot = value
-
-    @property
-    def rho_0(self):
-        """Density factor (g/cm^3)."""
-        if self._rho_0 is not None:
-            return self._rho_0
-        if self._mdot is None:
-            return None
-        self._check_all_set()
-        if self.star is None or self.star.mass is None:
-            raise Exception("Stellar mass is undefined - cannot compute "
-                            "density scaling")
-        return self._mdot / (4.0 * pi *
-                             np.sqrt(G * self.star.mass * self.rc ** 3))
-
-    @rho_0.setter
-    def rho_0(self, value):
-        if value is not None:
-            validate_scalar('rho_0', value, domain='positive')
-            self._mdot = None
-        self._rho_0 = value
-
-    def _check_all_set(self):
-        for attr in ('rmin', 'rmax', 'rc'):
-            v = getattr(self, attr)
-            if v is None:
-                raise Exception("%s is not set" % attr)
-        if self._mdot is None and self._rho_0 is None:
-            raise Exception("mdot or rho_0 is not set")
+            raise Exception("Stellar mass is undefined - cannot relate "
+                            "infall rate and density factor")
+        return 4.0 * pi * np.sqrt(G * self.star.mass * self.rc ** 3)
 
     def exists(self):
         return self.rho_0 > 0.0
 
+    # -- midplane limits of the Ulrich profile ----------------------------------
+
+    def _midplane_profile(self, ratio):
+        """rho/rho_0 exactly on the midplane (mu = 0), where the general
+        expression is 0/0: inside rc the streamline root is mu0 = sqrt(1 -
+        ratio), outside it is mu0 = 0."""
+        ratio = np.asarray(ratio, float)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            inner = 0.5 / (np.sqrt(ratio) * (1.0 - ratio))
+            outer = 1.0 / (np.sqrt(2.0 * ratio - 1.0) * (ratio - 1.0))
+        return np.where(ratio < 1.0, inner, outer)
+
     def density(self, grid, ignore_cavity=False):
-        """Evaluate the density on a spherical/cylindrical polar grid."""
-        from ..grid import SphericalPolarGrid, CylindricalPolarGrid
-        if isinstance(grid, SphericalPolarGrid):
-            r = grid.gr
-            mu = np.cos(grid.gt)
-        elif isinstance(grid, CylindricalPolarGrid):
-            r = np.hypot(grid.gw, grid.gz)
-            mu = grid.gz / r
-        else:
-            raise TypeError("grid should be a SphericalPolarGrid or "
-                            "CylindricalPolarGrid instance")
+        """Evaluate rho on a spherical/cylindrical polar grid (g/cm^3)."""
         self._check_all_set()
         if self.rmax <= self.rmin:
             return np.zeros(grid.shape)
 
-        mu0 = solve_mu0(r / self.rc, mu)
-        with np.errstate(divide='ignore', invalid='ignore'):
-            rho = (self.rho_0 * (r / self.rc) ** -1.5 *
-                   (1.0 + mu / mu0) ** -0.5 *
-                   (mu / mu0 + 2.0 * mu0 ** 2 * self.rc / r) ** -1.0)
+        r, mu = self._polar_coords(grid)[:2]
+        ratio = r / self.rc
+        mu0 = solve_mu0(ratio, mu)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            rho = (self.rho_0 * ratio ** -1.5
+                   * (1.0 + mu / mu0) ** -0.5
+                   * (mu / mu0 + 2.0 * mu0 ** 2 / ratio) ** -1.0)
 
-        mid1 = (np.abs(mu) < 1.e-10) & (r < self.rc)
-        rho[mid1] = (self.rho_0 / np.sqrt(r[mid1] / self.rc) /
-                     (1.0 - r[mid1] / self.rc) / 2.0)
-        mid2 = (np.abs(mu) < 1.e-10) & (r > self.rc)
-        rho[mid2] = (self.rho_0 / np.sqrt(2.0 * r[mid2] / self.rc - 1.0) /
-                     (r[mid2] / self.rc - 1.0))
-        if np.any((np.abs(mu) < 1.e-10) & (r == self.rc)):
+        # cells exactly on the midplane need the analytic limit
+        on_mid = np.abs(mu) < 1.0e-10
+        if np.any(on_mid & (ratio == 1.0)):
             raise Exception("Grid point too close to Ulrich singularity")
+        rho = np.where(on_mid, self.rho_0 * self._midplane_profile(ratio), rho)
 
-        rho[r < self.rmin] = 0.0
-        rho[r > self.rmax] = 0.0
-
-        if not ignore_cavity and self.cavity is not None:
-            mask = self.cavity.mask(grid)
-            rho[~mask] = 0.0
-        return rho
+        return self._apply_bounds_and_cavity(rho, r, grid, ignore_cavity)
 
     def outermost_radius(self, rho):
-        """Radius where the midplane density drops to rho."""
-        # midplane (r >> rc): rho ~ rho_0 (rc/r) sqrt(rc/2r)
+        """Radius where the midplane density drops to rho (fixed point of the
+        large-r midplane asymptote)."""
         r = self.rc
         for _ in range(100):
             r_new = self.rc * (self.rho_0 / rho) ** (2.0 / 3.0) / \
@@ -178,18 +141,14 @@ class UlrichEnvelope(Envelope):
         return r
 
     def midplane_cumulative_density(self, r):
-        """Cumulative column along the midplane from rmin to r (numeric)."""
+        """Column density along the midplane from rmin to r (numeric)."""
         self._check_all_set()
         r = np.asarray(r, float)
         out = np.zeros(r.shape)
         for i, rr in enumerate(r.flat):
-            rs = np.logspace(np.log10(self.rmin), np.log10(max(rr, self.rmin * (1 + 1e-10))), 200)
-            ratio = rs / self.rc
-            with np.errstate(divide='ignore'):
-                rho = np.where(ratio < 1.0,
-                               self.rho_0 / np.sqrt(ratio) / (1.0 - ratio) / 2.0,
-                               self.rho_0 / np.sqrt(np.maximum(2 * ratio - 1, 1e-10)) /
-                               np.maximum(ratio - 1.0, 1e-10))
+            hi = max(rr, self.rmin * (1.0 + 1e-10))
+            rs = np.logspace(np.log10(self.rmin), np.log10(hi), 200)
+            rho = self.rho_0 * self._midplane_profile(rs / self.rc)
             rho[~np.isfinite(rho)] = 0.0
-            out.flat[i] = np.trapezoid(rho, rs)
+            out.flat[i] = np.trapezoid(np.maximum(rho, 0.0), rs)
         return out

@@ -277,3 +277,189 @@ class HOCHUNKDust(HenyeyGreensteinDust):
 
 
 TTsreDust = HOCHUNKDust
+
+
+def _fill_scattering_matrix(op, rows):
+    """Populate P1..P4 from an iterable of per-frequency (mu, s11, s12,
+    s33, s34) records; the first record fixes the mu grid."""
+    for i, (theta_deg, s11, s12, s33, s34) in enumerate(rows):
+        if i == 0:
+            op.mu = np.cos(np.radians(theta_deg))
+            op.initialize_scattering_matrix()
+        op.P1[i, :] = s11
+        op.P2[i, :] = s12
+        op.P3[i, :] = s33
+        op.P4[i, :] = s34
+
+
+class _CoatsphDust(SphericalDust):
+    """Shared reader for the coated-sphere Mie code output (ref
+    dust_type.py:624-729): a forward-scattering summary file plus one
+    scattering-matrix file per wavelength."""
+
+    _forw_skiprows = None
+    _forw_dtype = None
+    _scat_pattern = None
+    _scat_skiprows = None
+
+    def _load(self, directory):
+        forw = os.path.join(directory, 'coatsph_forw.dat')
+        with open(forw, 'rb') as fh:
+            fh.readline()  # version banner
+            fh.readline()  # component count line
+            table = np.loadtxt(fh, skiprows=self._forw_skiprows,
+                               dtype=self._forw_dtype)
+        op = self.optical_properties
+        op.nu = c / table['wav'] * 1.e4
+        self._set_opacities(op, table)
+
+        scat_dtype = [('theta', float), ('s11', float), ('polariz', float),
+                      ('s12', float), ('s33', float), ('s34', float)]
+        rows = []
+        for i in range(len(table)):
+            scat = np.loadtxt(os.path.join(directory, self._scat_pattern % (i + 1)),
+                              skiprows=self._scat_skiprows, dtype=scat_dtype)
+            rows.append((scat['theta'], scat['s11'], scat['s12'],
+                         scat['s33'], scat['s34']))
+        _fill_scattering_matrix(op, rows)
+        return table
+
+
+class CoatsphSingle(_CoatsphDust):
+    """Single-component coated-sphere dust: opacity derived from Q_ext,
+    grain ``size`` (cm) and material ``density`` (g/cm^3)."""
+
+    _forw_skiprows = 3
+    _forw_dtype = [('x', float), ('radius', float), ('wav', float),
+                   ('q_ext', float), ('q_sca', float), ('q_back', float),
+                   ('g', float)]
+    _scat_pattern = 'coatsph_scat_%04i_0001.dat'
+    _scat_skiprows = 9
+
+    def __init__(self, directory, size, density):
+        SphericalDust.__init__(self)
+        self._size = size
+        self._density = density
+        self._load(directory)
+
+    def _set_opacities(self, op, table):
+        op.albedo = table['q_sca'] / table['q_ext']
+        # chi = (3/4) Q_ext / (a rho): geometric cross-section per unit mass
+        op.chi = 0.75 * table['q_ext'] / (self._size * self._density)
+
+
+class CoatsphMultiple(_CoatsphDust):
+    """Multi-component coated-sphere dust: opacities read directly from the
+    size-distribution-averaged summary table."""
+
+    _forw_skiprows = 7
+    _forw_dtype = [('wav', float), ('c_ext', float), ('c_sca', float),
+                   ('chi', float), ('g', float), ('pmax', float),
+                   ('thetmax', float)]
+    _scat_pattern = 'coatsph_scat.%04i.dat'
+    _scat_skiprows = 7
+
+    def __init__(self, directory):
+        SphericalDust.__init__(self)
+        self._load(directory)
+
+    def _set_opacities(self, op, table):
+        op.albedo = table['c_sca'] / table['c_ext']
+        op.chi = table['chi']
+
+
+def _interp_nan_loglog(wav, values):
+    """Replace NaNs by log-log interpolation over wavelength (the MieX code
+    emits NaN at wavelengths where a quantity underflows)."""
+    bad = np.isnan(values)
+    if not bad.any():
+        return values
+    good_wav, good_val = wav[~bad][::-1], values[~bad][::-1]
+    values = values.copy()
+    values[bad] = interp1d_fast_loglog(good_wav, good_val, wav[bad])
+    if np.isnan(values).any():
+        raise Exception("Did not manage to fix NaN values in MieX data")
+    return values
+
+
+class MieXDust(SphericalDust):
+    """Dust computed with the MieX code: per-quantity text files named
+    ``<model>.alb``, ``<model>.k_abs``, ``<model>.f11`` ... ``<model>.f34``.
+
+    The matrix files interleave a wavelength line with n_mu angle rows; we
+    parse them with a single loadtxt + reshape rather than per-line reads.
+    """
+
+    def __init__(self, model):
+        SphericalDust.__init__(self)
+        op = self.optical_properties
+
+        wav, albedo = np.loadtxt('%s.alb' % model, usecols=[0, 1], unpack=True)
+        kappa = np.loadtxt('%s.k_abs' % model, usecols=[1])
+        albedo = _interp_nan_loglog(wav, albedo)
+        chi = _interp_nan_loglog(wav, kappa / (1.0 - albedo))
+        op.nu = c / wav * 1.e4
+        op.albedo = albedo
+        op.chi = chi
+
+        theta, blocks = self._parse_blocks('%s.f11' % model, wav)
+        n_mu = theta.size
+        op.mu = np.cos(np.radians(theta))[::-1]
+        op.initialize_scattering_matrix()
+        op.P1[:, :] = blocks[:, ::-1]
+        for key, attr in (('f12', 'P2'), ('f33', 'P3'), ('f34', 'P4')):
+            _, blk = self._parse_blocks('%s.%s' % (model, key), wav)
+            getattr(op, attr)[:, :] = blk[:, ::-1]
+        for attr in ('P1', 'P2', 'P3', 'P4'):
+            values = getattr(op, attr)
+            for i in range(n_mu):
+                values[:, i] = _interp_nan_loglog(wav, values[:, i])
+
+    @staticmethod
+    def _parse_blocks(path, wav):
+        """Parse a MieX matrix file: header line, then per wavelength a
+        wavelength line followed by (angle, value) rows. Returns the angle
+        grid and an (n_wav, n_mu) value array."""
+        with open(path) as fh:
+            lines = [ln.split() for ln in fh if ln.strip()]
+        lines = lines[1:]  # header
+        n_wav = wav.size
+        if len(lines) % n_wav:
+            raise Exception("Unexpected MieX matrix file layout: %s" % path)
+        per_block = len(lines) // n_wav
+        n_mu = per_block - 1
+        theta = np.array([float(lines[1 + i][0]) for i in range(n_mu)])
+        values = np.empty((n_wav, n_mu))
+        for j in range(n_wav):
+            block = lines[j * per_block:(j + 1) * per_block]
+            if abs(float(block[0][0]) - wav[j]) > 1e-5 * abs(wav[j]):
+                raise Exception("Incorrect wavelength in %s" % path)
+            values[j, :] = [float(row[1]) for row in block[1:]]
+        return theta, values
+
+
+class BHDust(SphericalDust):
+    """Dust from the bhmie wrapper (output format 2): whitespace tables
+    ``<model>.wav/.mu/.alb/.chi/.f11/.f12/.f33/.f34``."""
+
+    def __init__(self, model):
+        SphericalDust.__init__(self)
+        op = self.optical_properties
+
+        mu = np.loadtxt('%s.mu' % model)
+        nu = c / np.loadtxt('%s.wav' % model) * 1.e4
+        albedo = np.loadtxt('%s.alb' % model)
+        chi = np.loadtxt('%s.chi' % model)
+        P = {key: np.atleast_2d(np.loadtxt('%s.%s' % (model, key)))
+             for key in ('f11', 'f12', 'f33', 'f34')}
+
+        nu_order = slice(None) if nu[-1] >= nu[0] else slice(None, None, -1)
+        mu_order = slice(None) if mu[-1] >= mu[0] else slice(None, None, -1)
+        op.nu = nu[nu_order]
+        op.albedo = albedo[nu_order]
+        op.chi = chi[nu_order]
+        op.mu = mu[mu_order]
+        op.P1 = P['f11'][nu_order, mu_order]
+        op.P2 = P['f12'][nu_order, mu_order]
+        op.P3 = P['f33'][nu_order, mu_order]
+        op.P4 = P['f34'][nu_order, mu_order]

@@ -35,24 +35,25 @@ class Emissivities(FreezableClass):
         self.jnu = self.jnu / norm[None, :]
 
     def set_lte(self, optical_properties, mean_opacities):
-        self.is_lte = True
+        """Tabulate j_nu = kappa_nu B_nu(T) over the mean-opacity temperature
+        grid, on the union frequency grid restricted to where kappa is
+        defined (points outside [nu_min, nu_max] could only have come from
+        the Planck range, so an unconditional clip is equivalent to the
+        reference's two conditional ones)."""
         temperature = mean_opacities.temperature
-        specific_energy = mean_opacities.specific_energy
+        grid = nu_common(planck_nu_range(temperature[0], temperature[-1]),
+                         optical_properties.nu)
+        lo, hi = optical_properties.nu.min(), optical_properties.nu.max()
+        grid = grid[(grid >= lo) & (grid <= hi)]
 
-        planck_nu = planck_nu_range(temperature[0], temperature[-1])
-        self.nu = nu_common(planck_nu, optical_properties.nu)
-        if planck_nu.min() < optical_properties.nu.min():
-            self.nu = self.nu[self.nu >= optical_properties.nu.min()]
-        if planck_nu.max() > optical_properties.nu.max():
-            self.nu = self.nu[self.nu <= optical_properties.nu.max()]
-
-        kappa_nu = interp1d_fast_loglog(optical_properties.nu,
-                                        optical_properties.kappa, self.nu)
-
+        self.is_lte = True
         self.var_name = 'specific_energy'
-        self.var = specific_energy
+        self.var = mean_opacities.specific_energy
+        self.nu = grid
+        kappa_nu = interp1d_fast_loglog(optical_properties.nu,
+                                        optical_properties.kappa, grid)
         # (n_temp, n_nu) Planck matrix -> (n_nu, n_temp) emissivities
-        self.jnu = (kappa_nu[None, :] * _B_nu_matrix(self.nu, temperature)).T
+        self.jnu = (kappa_nu[None, :] * _B_nu_matrix(grid, temperature)).T
 
     # -- I/O ------------------------------------------------------------------
 

@@ -1,100 +1,160 @@
-"""Analytical YSO convenience model
-(ref: hyperion/model/analytical_yso_model.py:34-869): a Star plus analytic
-disks/envelopes/ambient media evaluated onto an automatically refined polar
-grid, with magnetospheric accretion and midplane optical-depth diagnostics.
+"""Analytical YSO convenience model.
+
+Functional counterpart of hyperion/model/analytical_yso_model.py: a central
+:class:`Star` plus analytic disks/envelopes/ambient media, evaluated onto an
+automatically refined polar grid, with magnetospheric accretion and midplane
+optical-depth diagnostics. The grid-refinement recipes (resolve the tau=0.1
+surface radially, crowd theta walls toward the midplane, resolve the disk
+scale height vertically) follow the reference's documented behaviour
+(ref analytical_yso_model.py:437-625) but are implemented as free functions
+here.
 """
 
 from copy import deepcopy
 
 import numpy as np
 
-from ..util.constants import pi, sigma, G, c
+from ..densities import (AlphaDisk, AmbientMedium, FlaredDisk,
+                         PowerLawEnvelope, UlrichEnvelope)
+from ..grid import CylindricalPolarGrid, SphericalPolarGrid
+from ..sources import SphericalSource, SpotSource
+from ..util.constants import G, c, pi, sigma
+from ..util.convenience import OptThinRadius
 from ..util.functions import FreezableClass
 from ..util.interpolate import interp1d_fast_loglog
-from ..densities import (FlaredDisk, AlphaDisk, UlrichEnvelope,
-                         PowerLawEnvelope, AmbientMedium)
-from ..grid import SphericalPolarGrid, CylindricalPolarGrid
-from ..sources import SphericalSource, SpotSource, MapSource
 from .model import Model
 
-
-def _min_none(*args):
-    values = [a for a in args if a is not None]
-    return min(values) if values else None
+__all__ = ["Star", "AnalyticalYSOModel"]
 
 
-def _max_none(*args):
-    values = [a for a in args if a is not None]
-    return max(values) if values else None
+# ---------------------------------------------------------------------------
+# grid-wall construction helpers
+# ---------------------------------------------------------------------------
 
+def _extremum(values, pick):
+    concrete = [v for v in values if v is not None]
+    return pick(concrete) if concrete else None
+
+
+def _auto_radial_walls(yso, n_r, rmin, rmax, min_spacing):
+    """Radial walls: logarithmic from rmin to rmax, with the first step
+    shrunk (if necessary) so the midplane tau=0.1 surface falls inside the
+    first cell."""
+    # Midplane optical depth on a dense trial grid hugging the inner edge.
+    trial = rmin * (1.0 + np.logspace(-20.0, np.log10(rmax / rmin - 1.0),
+                                      100000))
+    trial[0] = rmin
+    tau = yso.get_midplane_tau(trial)
+
+    # First-step candidates: the plain logarithmic step, and the depth of
+    # the tau=0.1 point (when the column ever reaches 0.1).
+    step_log = rmin * ((rmax / rmin) ** (1.0 / n_r) - 1.0)
+    if tau[-1] > 0.1:
+        step_tau = np.interp(0.1, tau, trial) - rmin
+    else:
+        step_tau = rmax - rmin
+    first = min(step_log, step_tau)
+    if first < rmin * min_spacing:
+        first = rmin * min_spacing
+
+    interior = rmin * (1.0 + np.logspace(np.log10(first / rmin),
+                                         np.log10(rmax / rmin - 1.0),
+                                         n_r - 1))
+    return np.concatenate([[0.0, rmin], interior])
+
+
+def _midplane_crowded_theta(n_theta):
+    """Theta walls biased toward the midplane: uniform spacing plus a
+    sin(2t)/6 perturbation (denser near t = pi/2, still monotonic)."""
+    t = np.linspace(0.0, pi, n_theta + 1)
+    return t + np.sin(2.0 * t) / 6.0
+
+
+def _disk_resolving_z_walls(n_z, z_disk, zmax):
+    """Vertical walls for cylindrical grids: 10 linear walls inside the
+    smallest disk scale height, log walls above, mirrored about z=0 (with a
+    z=0 wall when n_z is odd)."""
+    half = n_z // 2 if n_z % 2 == 0 else (n_z - 1) // 2
+    fine = np.linspace(0.1 * z_disk, 0.9 * z_disk, 10)
+    coarse = np.logspace(np.log10(z_disk), np.log10(zmax), half - 10)
+    upper = np.concatenate([fine, coarse])
+    mid = [] if n_z % 2 == 0 else [0.0]
+    return np.concatenate([-upper[::-1], mid, upper])
+
+
+# ---------------------------------------------------------------------------
+# the central star
+# ---------------------------------------------------------------------------
 
 class Star(FreezableClass):
-    """The central star: a SphericalSource plus optional accretion
-    components ('uv', 'xray') that share its radius."""
+    """The central star: a primary SphericalSource plus optional accretion
+    components ('uv', 'xray') that always share its radius.
+
+    ``luminosity``/``temperature``/``spectrum`` delegate to the primary
+    source only; ``radius``/``limb`` fan out to every component.
+    """
+
+    _primary_attrs = frozenset(("luminosity", "temperature", "spectrum"))
+    _shared_attrs = frozenset(("radius", "limb"))
 
     def __init__(self):
-        self.sources = {}
-        self.sources['star'] = SphericalSource(name='star')
+        self.sources = {"star": SphericalSource(name="star")}
         self.mass = None
         self.radius = None
         self.limb = False
         self._freeze()
 
     def add_spot(self, *args, **kwargs):
-        self.sources['star'].spots.append(SpotSource(*args, **kwargs))
+        self.sources["star"].spots.append(SpotSource(*args, **kwargs))
 
-    def __setattr__(self, attribute, value):
-        if attribute in ['luminosity', 'temperature', 'spectrum']:
-            setattr(self.sources['star'], attribute, value)
+    def __setattr__(self, name, value):
+        if name in self._primary_attrs:
+            setattr(self.sources["star"], name, value)
             return
-        elif attribute in ['radius', 'limb']:
-            for source in self.sources:
-                setattr(self.sources[source], attribute, value)
-        FreezableClass.__setattr__(self, attribute, value)
+        if name in self._shared_attrs:
+            for component in self.sources.values():
+                setattr(component, name, value)
+        FreezableClass.__setattr__(self, name, value)
 
-    def __getattr__(self, attribute):
-        if attribute in ['luminosity', 'temperature', 'spectrum', 'radius',
-                         'limb']:
-            return getattr(self.__dict__['sources']['star'], attribute)
-        raise AttributeError(attribute)
+    def __getattr__(self, name):
+        if name in Star._primary_attrs or name in Star._shared_attrs:
+            return getattr(self.__dict__["sources"]["star"], name)
+        raise AttributeError(name)
 
     def total_luminosity(self):
-        """Total luminosity including accretion components (erg/s)."""
-        ltot = 0.0
-        for source in self.sources:
-            if self.sources[source].luminosity is not None:
-                ltot += self.sources[source].luminosity
-        return ltot
+        """Total luminosity over all stellar components (erg/s)."""
+        return sum(s.luminosity for s in self.sources.values()
+                   if s.luminosity is not None)
 
     def effective_temperature(self):
-        """Effective temperature including accretion (K)."""
-        return (self.total_luminosity() /
-                (4.0 * pi * self.radius ** 2 * sigma)) ** 0.25
+        """Effective temperature implied by the total luminosity (K)."""
+        return (self.total_luminosity()
+                / (4.0 * pi * sigma * self.radius ** 2)) ** 0.25
 
     def total_spectrum(self, bnu_range=None):
-        """Combined (nu, fnu) spectrum of all stellar components."""
-        nu_all, fnu_all = [], []
-        for source in self.sources:
-            if self.sources[source].temperature is not None:
+        """Co-added (nu, fnu) spectrum of all stellar components, on the
+        union of their frequency grids."""
+        spectra = []
+        for component in self.sources.values():
+            if component.temperature is not None:
                 if bnu_range is None:
                     raise ValueError("bnu_range is needed for sources with "
                                      "Planck spectra")
-                nu, fnu = self.sources[source].get_spectrum(nu_range=bnu_range)
+                spectra.append(component.get_spectrum(nu_range=bnu_range))
             else:
-                nu, fnu = self.sources[source].get_spectrum()
-            nu_all.append(nu)
-            fnu_all.append(fnu)
-        nu_min = np.min([nu.min() for nu in nu_all])
-        nu_max = np.max([nu.max() for nu in nu_all])
-        nu_common = np.unique(np.sort(np.hstack(nu_all)))
-        nu_common = nu_common[(nu_common >= nu_min) & (nu_common <= nu_max)]
-        fnu_total = np.zeros(nu_common.shape)
-        for nu, fnu in zip(nu_all, fnu_all):
-            in_range = (nu_common >= nu.min()) & (nu_common <= nu.max())
-            fnu_total[in_range] += interp1d_fast_loglog(nu, fnu,
-                                                        nu_common[in_range])
-        return nu_common, fnu_total
+                spectra.append(component.get_spectrum())
 
+        grid = np.unique(np.concatenate([nu for nu, _ in spectra]))
+        total = np.zeros_like(grid)
+        for nu, fnu in spectra:
+            covered = (grid >= nu[0]) & (grid <= nu[-1])
+            total[covered] += interp1d_fast_loglog(nu, fnu, grid[covered])
+        return grid, total
+
+
+# ---------------------------------------------------------------------------
+# the model
+# ---------------------------------------------------------------------------
 
 class AnalyticalYSOModel(Model):
 
@@ -112,250 +172,199 @@ class AnalyticalYSOModel(Model):
 
     # -- density components ---------------------------------------------------
 
+    def _attach(self, component, registry):
+        component.star = self.star
+        registry.append(component)
+        return component
+
+    def add_flared_disk(self):
+        return self._attach(FlaredDisk(), self.disks)
+
+    def add_alpha_disk(self):
+        return self._attach(AlphaDisk(), self.disks)
+
+    def add_ulrich_envelope(self):
+        return self._attach(UlrichEnvelope(), self.envelopes)
+
+    def add_power_law_envelope(self):
+        return self._attach(PowerLawEnvelope(), self.envelopes)
+
     def add_ambient_medium(self, subtract=[]):
         """Add a constant-density ambient medium (optionally subtracting
         other components so the total never drops below rho)."""
-        ambient = AmbientMedium()
-        ambient.star = self.star
+        ambient = self._attach(AmbientMedium(), self.ambients)
         ambient.subtract = subtract
-        self.ambients.append(ambient)
         return ambient
-
-    def add_flared_disk(self):
-        disk = FlaredDisk()
-        disk.star = self.star
-        self.disks.append(disk)
-        return disk
-
-    def add_alpha_disk(self):
-        disk = AlphaDisk()
-        disk.star = self.star
-        self.disks.append(disk)
-        return disk
 
     def add_settled_disks(self, reference_disk, reference_size, eta=0.0,
                           sizes=[], dust_files=[]):
-        """Automatically create disks with varying degrees of settling
-        (ref analytical_yso_model.py:197-222)."""
-        exists = False
-        for disk in self.disks:
-            if disk is reference_disk:
-                exists = True
-        if not exists:
+        """Clone ``reference_disk`` once per grain size, scaling each clone's
+        scale height by (size/reference_size)^-eta (dust settling;
+        ref analytical_yso_model.py:197-222)."""
+        if not any(d is reference_disk for d in self.disks):
             raise Exception("Reference disk not found in disk list")
         for size, dust in zip(sizes, dust_files):
-            disk = deepcopy(reference_disk)
-            disk.star = self.star
-            disk.h_0 *= (size / reference_size) ** (-eta)
-            disk.dust = dust
-            self.disks.append(disk)
+            clone = deepcopy(reference_disk)
+            clone.h_0 *= (size / reference_size) ** -eta
+            clone.dust = dust
+            self._attach(clone, self.disks)
 
-    def add_ulrich_envelope(self):
-        envelope = UlrichEnvelope()
-        envelope.star = self.star
-        self.envelopes.append(envelope)
-        return envelope
-
-    def add_power_law_envelope(self):
-        envelope = PowerLawEnvelope()
-        envelope.star = self.star
-        self.envelopes.append(envelope)
-        return envelope
+    def _components(self):
+        return self.disks + self.envelopes + self.ambients
 
     def _check_all_set(self):
-        for disk in self.disks:
-            disk._check_all_set()
-        for envelope in self.envelopes:
-            envelope._check_all_set()
-        for ambient in self.ambients:
-            ambient._check_all_set()
+        for component in self._components():
+            component._check_all_set()
 
     # -- midplane optical depth diagnostics -----------------------------------
+
+    def _spectrum_weighted_chi(self, dust):
+        """chi of ``dust`` weighted by the star's spectrum (cm^2/g)."""
+        props = dust.optical_properties
+        nu, fnu = self.star.total_spectrum(
+            bnu_range=[props.nu[0], props.nu[-1]])
+        return dust.chi_nu_spectrum(nu, fnu)
+
+    def get_midplane_tau(self, r):
+        """Combined midplane optical depth out to radii ``r``, weighting
+        each component's opacity by the stellar spectrum."""
+        self._check_all_set()
+        tau = np.zeros(np.asarray(r).shape)
+        for disk in self.disks:
+            if disk.mass > 0.0:
+                tau += (disk.midplane_cumulative_density(r)
+                        * self._spectrum_weighted_chi(disk.dust))
+        for envelope in self.envelopes:
+            if envelope.exists():
+                tau += (envelope.midplane_cumulative_density(r)
+                        * self._spectrum_weighted_chi(envelope.dust))
+        return tau
 
     def print_midplane_tau(self, wavelength):
         for i, disk in enumerate(self.disks):
             if disk.mass > 0.0:
-                tau = (disk.midplane_cumulative_density(np.array([disk.rmax]))
-                       * disk.dust.optical_properties.interp_chi_wav(wavelength))
+                chi = disk.dust.optical_properties.interp_chi_wav(wavelength)
+                tau = disk.midplane_cumulative_density(
+                    np.array([disk.rmax])) * chi
                 print("Disk %i: %.5e" % (i + 1, tau))
 
-    def get_midplane_tau(self, r):
-        """Combined midplane Planck-mean optical depth out to radii r."""
-        self._check_all_set()
-        tau_midplane = np.zeros(np.asarray(r).shape)
-        for disk in self.disks:
-            if disk.mass > 0.0:
-                nu_min = disk.dust.optical_properties.nu[0]
-                nu_max = disk.dust.optical_properties.nu[-1]
-                nu, fnu = self.star.total_spectrum(bnu_range=[nu_min, nu_max])
-                tau_midplane += (disk.midplane_cumulative_density(r) *
-                                 disk.dust.chi_nu_spectrum(nu, fnu))
-        for envelope in self.envelopes:
-            if envelope.exists():
-                nu_min = envelope.dust.optical_properties.nu[0]
-                nu_max = envelope.dust.optical_properties.nu[-1]
-                nu, fnu = self.star.total_spectrum(bnu_range=[nu_min, nu_max])
-                tau_midplane += (envelope.midplane_cumulative_density(r) *
-                                 envelope.dust.chi_nu_spectrum(nu, fnu))
-        return tau_midplane
-
     def radial_range(self):
-        """(rmin, rmax) covered by all the density components."""
-        if len(self.disks) == 0 and len(self.envelopes) == 0 and \
-                len(self.ambients) == 0:
-            rmin = rmax = self.star.radius
-        else:
-            rmin_values = ([d.rmin for d in self.disks] +
-                           [e.rmin for e in self.envelopes] +
-                           [a.rmin for a in self.ambients])
-            rmax_values = ([d.rmax for d in self.disks] +
-                           [e.rmax for e in self.envelopes] +
-                           [a.rmax for a in self.ambients])
-            rmin = _min_none(*rmin_values)
-            rmax = _max_none(*rmax_values)
-        return rmin, rmax
+        """(rmin, rmax) span of all the density components."""
+        components = self._components()
+        if not components:
+            return self.star.radius, self.star.radius
+        return (_extremum([s.rmin for s in components], min),
+                _extremum([s.rmax for s in components], max))
 
     # -- automated grids ------------------------------------------------------
+
+    def set_spherical_polar_grid_auto(self, n_r, n_theta, n_phi, rmax=None,
+                                      min_spacing=1.e-8):
+        self.grid = dict(grid_type="spherical", n1=n_r, n2=n_theta, n3=n_phi,
+                         rmax=rmax, min_spacing=min_spacing)
 
     def set_cylindrical_polar_grid_auto(self, n_w, n_z, n_phi, wmin=None,
                                         wmax=None, zmin=None, zmax=None,
                                         min_spacing=1.e-8):
-        self.grid = {'grid_type': 'cylindrical', 'n1': n_w, 'n2': n_z,
-                     'n3': n_phi, 'rmin': wmin, 'rmax': wmax, 'zmin': zmin,
-                     'zmax': zmax, 'min_spacing': min_spacing}
-
-    def set_spherical_polar_grid_auto(self, n_r, n_theta, n_phi, rmax=None,
-                                      min_spacing=1.e-8):
-        self.grid = {'grid_type': 'spherical', 'n1': n_r, 'n2': n_theta,
-                     'n3': n_phi, 'rmax': rmax, 'min_spacing': min_spacing}
+        self.grid = dict(grid_type="cylindrical", n1=n_w, n2=n_z, n3=n_phi,
+                         rmin=wmin, rmax=wmax, zmin=zmin, zmax=zmax,
+                         min_spacing=min_spacing)
 
     def _set_polar_grid_auto(self, n1=None, n2=None, n3=None, grid_type=None,
                              zmin=None, zmax=None, rmin=None, rmax=None,
                              min_spacing=1.e-8):
-        """Construct the refined polar grid (ref analytical_yso_model.py:
-        516-625): inner radial spacing resolves the tau=0.1 surface, theta
-        walls crowd toward the midplane, z walls resolve the disk scale
-        height."""
+        """Build the refined polar grid (see the module helpers)."""
         if self.star.radius is None:
             raise Exception("The central source radius need to be defined "
                             "before the grid can be set up")
-        if grid_type == 'spherical':
-            n_r, n_theta, n_phi = n1, n2, n3
-        elif grid_type == 'cylindrical':
-            n_r, n_z, n_phi = n1, n2, n3
-        else:
+        if grid_type not in ("spherical", "cylindrical"):
             raise Exception("Unknown grid type: %s" % grid_type)
 
         if rmin is None:
-            if len(self.disks) == 0 and len(self.envelopes) == 0:
-                rmin = self.star.radius
-            else:
-                rmin = _min_none(*([d.rmin for d in self.disks] +
-                                   [e.rmin for e in self.envelopes] +
-                                   [a.rmin for a in self.ambients]))
+            inner = [s.rmin for s in self._components()]
+            rmin = _extremum(inner, min) if inner else self.star.radius
         if rmax is None:
-            rmax = _max_none(*([2.0 * self.star.radius] +
-                               [d.rmax for d in self.disks] +
-                               [e.rmax for e in self.envelopes] +
-                               [a.rmax for a in self.ambients]))
-
+            rmax = _extremum([2.0 * self.star.radius]
+                             + [s.rmax for s in self._components()], max)
         if rmax < rmin:
-            rmin = self.star.radius
-            rmax = 2.0 * self.star.radius
+            rmin, rmax = self.star.radius, 2.0 * self.star.radius
         if np.isnan(rmin) or np.isnan(rmax):
             raise Exception("R_min or R_max is NaN")
         if rmin == 0:
             raise ValueError("R_min is 0, so cannot set up the grid cell "
                              "walls automatically")
 
-        # Radial walls: resolve the tau=0.1 surface at the inner edge
-        r = np.logspace(-20.0, np.log10((rmax - rmin) / rmin), 100000) * rmin + rmin
-        r[0] = rmin
-        tau_midplane = self.get_midplane_tau(r)
-        r_next_real = rmin * ((rmax / rmin) ** (1.0 / n_r) - 1.0)
-        if tau_midplane[-1] <= 0.1:
-            r_next_tau = rmax - rmin
-        else:
-            r_next_tau = np.interp(0.1, tau_midplane, r) - rmin
-        rnext = min(r_next_real, r_next_tau)
-        if rmin * (1.0 + min_spacing) > rnext + rmin:
-            rnext = rmin * min_spacing
-        r_wall = np.hstack([0.0, np.logspace(np.log10(rnext / rmin),
-                                             np.log10((rmax - rmin) / rmin),
-                                             n_r - 1)]) * rmin + rmin
-        r_wall = np.hstack([0.0, r_wall])
+        r_wall = _auto_radial_walls(self, n1, rmin, rmax, min_spacing)
+        p_wall = np.linspace(0.0, 2.0 * pi, n3 + 1)
 
-        p_wall = np.linspace(0.0, 2.0 * pi, n_phi + 1)
+        if grid_type == "spherical":
+            return SphericalPolarGrid(r_wall,
+                                      _midplane_crowded_theta(n2), p_wall)
 
-        if grid_type == 'spherical':
-            # Theta walls crowd toward the midplane
-            t_wall = np.linspace(0, pi, n_theta + 1)
-            t_wall = t_wall + np.sin(2 * t_wall) / 6.0
-            return SphericalPolarGrid(r_wall, t_wall, p_wall)
-
-        # cylindrical
         if not zmax:
             zmax = rmax
-        if zmin is None and len(self.disks) > 0:
-            zmin = np.inf
-            for disk in self.disks:
-                zmin = min(zmin, disk.scale_height_at(rmin))
-        if zmin is not None:
-            if n_z % 2 == 0:
-                n_zn = n_z // 2
-                z_wall1 = np.linspace(zmin * 0.1, zmin * 0.9, 10)
-                z_wall2 = np.logspace(np.log10(zmin), np.log10(zmax), n_zn - 10)
-                z_wall = np.hstack([z_wall1, z_wall2])
-                z_wall = np.hstack([-z_wall[::-1], z_wall])
-            else:
-                n_zn = (n_z - 1) // 2
-                z_wall1 = np.linspace(zmin * 0.1, zmin * 0.9, 10)
-                z_wall2 = np.logspace(np.log10(zmin), np.log10(zmax), n_zn - 10)
-                z_wall = np.hstack([z_wall1, z_wall2])
-                z_wall = np.hstack([-z_wall[::-1], 0.0, z_wall])
+        if zmin is None and self.disks:
+            zmin = min(d.scale_height_at(rmin) for d in self.disks)
+        if zmin is None:
+            z_wall = np.linspace(-zmax, zmax, n2 + 1)
         else:
-            z_wall = np.linspace(-zmax, zmax, n_z + 1)
+            z_wall = _disk_resolving_z_walls(n2, zmin, zmax)
         return CylindricalPolarGrid(r_wall, z_wall, p_wall)
 
     # -- accretion ------------------------------------------------------------
 
     def setup_magnetospheric_accretion(self, mdot, rtrunc, fspot,
                                        xwav_min=0.001, xwav_max=0.01):
-        """Add hot-spot + X-ray emission from magnetospheric accretion
-        (ref analytical_yso_model.py:627-688)."""
-        lstar = self.star.sources['star'].luminosity
+        """Split the accretion-shock luminosity L = G M Mdot (1/R* - 1/Rtrunc)
+        into a hot-spot blackbody ('uv') and a flat X-ray component
+        (ref analytical_yso_model.py:627-688). The primary star keeps
+        (1 - fspot) of its photospheric luminosity."""
         if self.star.mass is None:
             raise Exception("Stellar mass is not set")
-        lshock = G * self.star.mass * mdot * (1 / self.star.radius - 1 / rtrunc)
-        fluxratio = 0.5 * lshock / lstar / fspot
-        teff = (lstar / (4.0 * pi * self.star.radius ** 2 * sigma)) ** 0.25
-        tshock = teff * (1 + fluxratio) ** 0.25
+        photosphere = self.star.sources["star"].luminosity
+        l_shock = G * self.star.mass * mdot * (1.0 / self.star.radius
+                                               - 1.0 / rtrunc)
 
-        self.star.sources['uv'] = SphericalSource(name='uv',
-                                                  radius=self.star.radius)
-        self.star.sources['uv'].luminosity = lshock / 2.0 + lstar * fspot
-        self.star.sources['uv'].temperature = tshock
+        # Spot temperature: photospheric T_eff boosted by the extra flux
+        # running through the spot covering fraction.
+        t_eff = (photosphere
+                 / (4.0 * pi * sigma * self.star.radius ** 2)) ** 0.25
+        t_spot = t_eff * (1.0 + 0.5 * l_shock / (photosphere * fspot)) ** 0.25
 
+        uv = SphericalSource(name="uv", radius=self.star.radius)
+        uv.luminosity = 0.5 * l_shock + photosphere * fspot
+        uv.temperature = t_spot
+        self.star.sources["uv"] = uv
+
+        # Flat f_nu between the two X-ray wavelengths (microns).
         wav = np.logspace(np.log10(xwav_min), np.log10(xwav_max), 100)[::-1]
-        nu = c * 1.e4 / wav
-        fnu = np.repeat(1.0, nu.shape)
-        self.star.sources['xray'] = SphericalSource(name='xray',
-                                                    radius=self.star.radius)
-        self.star.sources['xray'].luminosity = lshock / 2.0
-        self.star.sources['xray'].spectrum = (nu, fnu)
+        xray = SphericalSource(name="xray", radius=self.star.radius)
+        xray.luminosity = 0.5 * l_shock
+        xray.spectrum = (1.0e4 * c / wav, np.ones(wav.shape))
+        self.star.sources["xray"] = xray
 
-        self.star.sources['star'].luminosity *= 1 - fspot
+        self.star.sources["star"].luminosity = photosphere * (1.0 - fspot)
 
-    # -- output ---------------------------------------------------------------
+    # -- evaluation to a plain Model -------------------------------------------
 
     def evaluate_optically_thin_radii(self):
         """Freeze all OptThinRadius rmin/rmax into concrete values."""
-        from ..util.convenience import OptThinRadius
-        for component in self.disks + self.envelopes + self.ambients:
-            if isinstance(component._rmin, OptThinRadius):
-                component.rmin = component.rmin
-            if isinstance(component._rmax, OptThinRadius):
-                component.rmax = component.rmax
+        for component in self._components():
+            for attr in ("rmin", "rmax"):
+                if isinstance(getattr(component, "_" + attr), OptThinRadius):
+                    setattr(component, attr, getattr(component, attr))
+
+    @staticmethod
+    def _disk_is_empty(disk):
+        return disk.rmin >= disk.rmax or disk.mass == 0.0
+
+    @staticmethod
+    def _envelope_is_empty(envelope):
+        if envelope.rmin >= envelope.rmax:
+            return True
+        if isinstance(envelope, UlrichEnvelope):
+            return envelope.rho_0 == 0.0
+        return envelope.mass == 0.0
 
     def to_model(self, merge_if_possible=True):
         """Evaluate the analytic structure onto the grid and return a plain
@@ -370,90 +379,60 @@ class AnalyticalYSOModel(Model):
             m.grid = deepcopy(self.grid)
 
         m.name = self.name
-        m.conf = deepcopy(self.conf)
-        m.sources = deepcopy(self.sources)
-        m.binned_output = deepcopy(self.binned_output)
-        m.peeled_output = deepcopy(self.peeled_output)
-        m._minimum_temperature = deepcopy(self._minimum_temperature)
-        m._minimum_specific_energy = deepcopy(self._minimum_specific_energy)
+        for attr in ("conf", "sources", "binned_output", "peeled_output",
+                     "_minimum_temperature", "_minimum_specific_energy"):
+            setattr(m, attr, deepcopy(getattr(self, attr)))
         m._monochromatic = self._monochromatic
         m._frequencies = self._frequencies
 
-        # copy run configuration through the HDF5 schema
+        # run configuration travels through its own HDF5 schema
         import io as _io
         import h5py
-        buf = h5py.File(_io.BytesIO(), 'w')
-        self.write_run_conf(buf)
-        m.read_run_conf(buf)
-        buf.close()
+        with h5py.File(_io.BytesIO(), "w") as buf:
+            self.write_run_conf(buf)
+            m.read_run_conf(buf)
+
+        def deposit(structure, what):
+            if not structure.dust:
+                raise Exception("%s dust not set" % what)
+            m.add_density_grid(structure.density(m.grid), structure.dust,
+                               merge_if_possible=merge_if_possible)
 
         for i, disk in enumerate(self.disks):
-            if disk.rmin >= disk.rmax:
-                pass
-            elif disk.mass == 0.0:
-                pass
-            else:
-                if not disk.dust:
-                    raise Exception("Disk %i dust not set" % (i + 1))
-                m.add_density_grid(disk.density(m.grid), disk.dust,
-                                   merge_if_possible=merge_if_possible)
+            if not self._disk_is_empty(disk):
+                deposit(disk, "Disk %i" % (i + 1))
 
-        for i, envelope in enumerate(self.envelopes):
-            if envelope.rmin >= envelope.rmax:
+        for envelope in self.envelopes:
+            if self._envelope_is_empty(envelope):
                 continue
-            if isinstance(envelope, UlrichEnvelope) and envelope.rho_0 == 0.0:
-                continue
-            if isinstance(envelope, PowerLawEnvelope) and envelope.mass == 0.0:
-                continue
-            if not envelope.dust:
-                raise Exception("Envelope dust not set")
-            m.add_density_grid(envelope.density(m.grid), envelope.dust,
-                               merge_if_possible=merge_if_possible)
-            if envelope.cavity is not None:
-                if envelope.cavity.theta_0 == 0.0:
-                    pass
-                elif envelope.cavity.rho_0 is None or \
-                        envelope.cavity.rho_0 == 0.0:
-                    pass
-                else:
-                    if not envelope.cavity.dust:
-                        raise Exception("Cavity dust not set")
-                    m.add_density_grid(envelope.cavity.density(m.grid),
-                                       envelope.cavity.dust,
-                                       merge_if_possible=merge_if_possible)
+            deposit(envelope, "Envelope")
+            cavity = envelope.cavity
+            if cavity is not None and cavity.theta_0 != 0.0 and cavity.rho_0:
+                deposit(cavity, "Cavity")
 
         for ambient in self.ambients:
-            if ambient.rho == 0.0:
-                continue
-            if not ambient.dust:
-                raise Exception("Ambient medium dust not set")
-            m.add_density_grid(ambient.density(m.grid), ambient.dust,
-                               merge_if_possible=merge_if_possible)
+            if ambient.rho != 0.0:
+                deposit(ambient, "Ambient medium")
 
-        # sources
-        if self.star.sources['star'].luminosity > 0:
-            if self.star.sources['star'] not in self.sources:
-                m.add_source(self.star.sources['star'])
-        for key in ('uv', 'xray'):
-            if key in self.star.sources and \
-                    self.star.sources[key].luminosity > 0.0:
-                if self.star.sources[key] not in self.sources:
-                    m.add_source(self.star.sources[key])
+        # stellar components with non-zero luminosity become sources
+        for component in self.star.sources.values():
+            if component.luminosity and component not in self.sources:
+                m.add_source(component)
 
+        # viscous disks radiate from a luminosity map
         for i, disk in enumerate(self.disks):
-            if isinstance(disk, AlphaDisk) and disk.rmin < disk.rmax and \
-                    disk.mass != 0.0 and disk.lvisc:
+            if isinstance(disk, AlphaDisk) and not self._disk_is_empty(disk) \
+                    and disk.lvisc:
                 m.add_map_source(luminosity=disk.lvisc,
                                  map=disk.accretion_luminosity_grid(m.grid),
-                                 name='accdisk%i' % i)
+                                 name="accdisk%i" % i)
 
         return m
 
     def write(self, filename=None, compression=True, copy=True,
               absolute_paths=False, wall_dtype=float, physics_dtype=float,
               overwrite=True, merge_if_possible=True):
-        """Evaluate to a Model and write it; the evaluated model is kept in
-        ``self.filename``'s file and also returned."""
+        """Evaluate to a plain Model and write it; returns the Model."""
         self.evaluate_optically_thin_radii()
         m = self.to_model(merge_if_possible=merge_if_possible)
         m.write(filename=filename, compression=compression, copy=copy,
@@ -464,8 +443,7 @@ class AnalyticalYSOModel(Model):
         return m
 
     def run(self, *args, **kwargs):
-        if not hasattr(self, '_evaluated_model') or \
-                self._evaluated_model is None:
+        if getattr(self, "_evaluated_model", None) is None:
             raise Exception("Model has not been written yet - call write() "
                             "first")
         return self._evaluated_model.run(*args, **kwargs)
