@@ -550,7 +550,7 @@ class PeeledImageConf(ImageConf):
     @property
     def n_view(self):
         if self.inside_observer is not None:
-            return 1
+            return len(self.viewing_angles) if self.viewing_angles else 1
         return len(self.viewing_angles) if self.viewing_angles else 0
 
     def set_inside_observer(self, position):
@@ -582,7 +582,13 @@ class PeeledImageConf(ImageConf):
             group.attrs['observer_x'] = self.inside_observer[0]
             group.attrs['observer_y'] = self.inside_observer[1]
             group.attrs['observer_z'] = self.inside_observer[2]
-            group.attrs['n_view'] = 1
+            # viewing angles define the sky-map centers (default: toward +x)
+            angles = self.viewing_angles or [(90.0, 0.0)]
+            group.attrs['n_view'] = len(angles)
+            group.create_dataset('angles',
+                                 data=np.array(angles,
+                                               dtype=[('theta', float),
+                                                      ('phi', float)]))
         else:
             group.attrs['inside_observer'] = bool2str(False)
             if self.peeloff_origin is None:
@@ -611,6 +617,9 @@ class PeeledImageConf(ImageConf):
             self.inside_observer = (float(group.attrs['observer_x']),
                                     float(group.attrs['observer_y']),
                                     float(group.attrs['observer_z']))
+            if 'angles' in group:
+                angles = group['angles']
+                self.set_viewing_angles(angles['theta'], angles['phi'])
         else:
             self.peeloff_origin = (float(group.attrs['peeloff_x']),
                                    float(group.attrs['peeloff_y']),

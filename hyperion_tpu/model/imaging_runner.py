@@ -18,9 +18,18 @@ def run_imaging(model, out, geometry, dt, st, density, specific_energy,
     if not model.peeled_output and model.binned_output is None:
         return
 
+    n_sources = max(len(model.sources), 1)
+    n_dust = dt.n_dust
     groups = [build_peel_group(conf, dtype=dtype,
-                               length_scale=geometry.length_scale)
+                               length_scale=geometry.length_scale,
+                               n_sources=n_sources, n_dust=n_dust)
               for conf in model.peeled_output]
+    if model.raytracing:
+        for conf, group in zip(model.peeled_output, groups):
+            if group.inside or group.use_filters:
+                raise NotImplementedError(
+                    "raytracing cannot yet be combined with inside observers "
+                    "or filter imaging")
 
     if model._monochromatic:
         _run_imaging_mono(model, out, geometry, dt, st, density,
@@ -36,7 +45,8 @@ def run_imaging(model, out, geometry, dt, st, density, specific_energy,
     binned_dims = None
     if model.binned_output is not None:
         binned_group = build_binned_group(model.binned_output, dtype=dtype,
-                                          length_scale=geometry.length_scale)
+                                          length_scale=geometry.length_scale,
+                                          n_sources=n_sources, n_dust=n_dust)
         binned_dims = (model.binned_output.n_theta, model.binned_output.n_phi)
 
     key = jax.random.PRNGKey((abs(model._seed) + 1) % (2 ** 31))
@@ -120,6 +130,11 @@ def _run_imaging_mono(model, out, geometry, dt, st, density, specific_energy,
     if model.raytracing:
         raise NotImplementedError("Raytracing in monochromatic mode is not "
                                   "yet supported")
+    for group in groups:
+        if group.track_origin in ('detailed', 'scatterings'):
+            raise NotImplementedError(
+                "track_origin='%s' is not yet supported in monochromatic "
+                "mode" % group.track_origin)
     n_src = model.n_photons.get('last_sources', 0)
     n_dustp = model.n_photons.get('last_dust', 0)
     se = None
@@ -163,16 +178,26 @@ def write_peel_group(g, conf, group, acc, scale, raytraced=None,
         # exact frequencies: multiply each bin by nu (F_nu -> nu*F_nu,
         # ref image_type.f90:678-683); the conversion happens via nu_norm
         nu_norm = frequencies[group.iwav_min:group.iwav_min + n_nu]
+    elif group.use_filters:
+        # the filter tn table already carries the normalization and the x nu
+        # factor — write raw sums (ref image_type.f90:650-654 dnunorm=1)
+        dnunorm = 1.0
+        nu_norm = None
     else:
         # F_nu*dnu -> nu*F_nu conversion factor (ref image_type.f90:624-658)
         dnunorm = (nu_max / nu_min) ** (+0.5 / n_nu) - \
                   (nu_max / nu_min) ** (-0.5 / n_nu)
         nu_norm = None
 
-    g.attrs['inside_observer'] = bool2str(False)
+    g.attrs['inside_observer'] = bool2str(group.inside)
     if group.monochromatic:
         freq = np.zeros(n_nu, dtype=[('nu', float)])
         freq['nu'] = nu_norm
+        g.create_dataset('frequencies', data=freq)
+    elif group.use_filters:
+        # channel axis = the filters' central frequencies
+        freq = np.zeros(n_nu, dtype=[('nu', float)])
+        freq['nu'] = [filt.central_nu for filt in conf._filters]
         g.create_dataset('frequencies', data=freq)
     # depth attributes only exist on peeled groups
     d_min = getattr(conf, 'd_min', None)
@@ -202,18 +227,18 @@ def write_peel_group(g, conf, group, acc, scale, raytraced=None,
         sed = np.cumsum(sed, axis=3)  # cumulative apertures
         dset = g.create_dataset('seds', data=sed.astype(io_dtype),
                                 compression='gzip')
-        if not group.monochromatic:
+        if not (group.monochromatic or group.use_filters):
             dset.attrs['numin'] = nu_min
             dset.attrs['numax'] = nu_max
         dset.attrs['apmin'] = conf.ap_min
         dset.attrs['apmax'] = conf.ap_max
-        dset.attrs['track_origin'] = np.bytes_(group.track_origin)
+        _write_origin_attrs(dset, group)
         if group.uncertainties:
             unc = unc.transpose(4, 3, 0, 1, 2)
             unc = np.sqrt(np.cumsum(unc ** 2, axis=3))
             d2 = g.create_dataset('seds_unc', data=unc.astype(io_dtype),
                                   compression='gzip')
-            if not group.monochromatic:
+            if not (group.monochromatic or group.use_filters):
                 d2.attrs['numin'] = nu_min
                 d2.attrs['numax'] = nu_max
 
@@ -235,18 +260,29 @@ def write_peel_group(g, conf, group, acc, scale, raytraced=None,
         img = img.transpose(5, 4, 0, 1, 2, 3)
         dset = g.create_dataset('images', data=img.astype(io_dtype),
                                 compression='gzip')
-        if not group.monochromatic:
+        if not (group.monochromatic or group.use_filters):
             dset.attrs['numin'] = nu_min
             dset.attrs['numax'] = nu_max
         dset.attrs['xmin'] = conf.xmin
         dset.attrs['xmax'] = conf.xmax
         dset.attrs['ymin'] = conf.ymin
         dset.attrs['ymax'] = conf.ymax
-        dset.attrs['track_origin'] = np.bytes_(group.track_origin)
+        _write_origin_attrs(dset, group)
         if group.uncertainties:
             unc = unc.transpose(5, 4, 0, 1, 2, 3)
             d2 = g.create_dataset('images_unc', data=unc.astype(io_dtype),
                                   compression='gzip')
-            if not group.monochromatic:
+            if not (group.monochromatic or group.use_filters):
                 d2.attrs['numin'] = nu_min
                 d2.attrs['numax'] = nu_max
+
+
+def _write_origin_attrs(dset, group):
+    """track_origin metadata the reader needs to slice components
+    (ref ModelOutput._get_origin_slice)."""
+    dset.attrs['track_origin'] = np.bytes_(group.track_origin)
+    if group.track_origin == 'detailed':
+        dset.attrs['n_sources'] = group.n_sources
+        dset.attrs['n_dust'] = group.n_dust
+    elif group.track_origin == 'scatterings':
+        dset.attrs['track_n_scat'] = group.track_n_scat

@@ -32,22 +32,74 @@ class ModelOutput(FreezableClass):
 
     def _get_origin_slice(self, dset, component, source_id=None, dust_id=None,
                           n_scat=None):
+        """Map a component name to origin-axis indices.
+
+        Returns an int (single slice) or ('sum', [indices]) to sum slices.
+        Slice layouts per track_origin mode follow the reference
+        (image_type.f90:228-241,443-461; model_output.py:126-210):
+        basic = [src_emit, dust_emit, src_scat, dust_scat];
+        detailed = [per-source emit][per-dust emit][per-source scat]
+        [per-dust scat]; scatterings = [0..K scat, >K][same, reprocessed].
+        """
         track_origin = asstr(dset.attrs['track_origin'])
         if track_origin == 'no' and component != 'total':
             raise Exception("cannot extract component=%s - file only contains "
                             "total flux" % component)
-        if track_origin in ('basic', 'detailed'):
+        if track_origin != 'detailed' and (source_id is not None or
+                                           dust_id is not None):
+            raise Exception("cannot specify source_id/dust_id since "
+                            "track_origin was not set to 'detailed'")
+
+        if track_origin == 'basic':
             mapping = {'source_emit': 0, 'dust_emit': 1,
                        'source_scat': 2, 'dust_scat': 3}
             if component in mapping:
                 return mapping[component]
             if component == 'source':
-                return ('source', None)
+                return ('sum', [0, 2])
             if component == 'dust':
-                return ('dust', None)
+                return ('sum', [1, 3])
             raise ValueError("component should be one of total/source_emit/"
-                             "dust_emit/source_scat/dust_scat")
-        raise NotImplementedError("track_origin=%s" % track_origin)
+                             "dust_emit/source_scat/dust_scat/source/dust")
+
+        if track_origin == 'detailed':
+            ns = int(dset.attrs['n_sources'])
+            nd = int(dset.attrs['n_dust'])
+            starts = {'source_emit': (0, ns, source_id),
+                      'dust_emit': (ns, nd, dust_id),
+                      'source_scat': (ns + nd, ns, source_id),
+                      'dust_scat': (2 * ns + nd, nd, dust_id)}
+            if component not in starts:
+                raise ValueError(
+                    "component should be one of total/source_emit/dust_emit/"
+                    "source_scat/dust_scat since track_origin='detailed'")
+            start, count, which = starts[component]
+            if which is None or which == 'all':
+                return ('sum', list(range(start, start + count)))
+            if which < 0 or which >= count:
+                raise ValueError("%s_id should be between 0 and %i"
+                                 % (component.split('_')[0], count - 1))
+            return start + which
+
+        if track_origin == 'scatterings':
+            track_n_scat = int(dset.attrs.get('track_n_scat', 0))
+            half = track_n_scat + 2
+            if component == 'source':
+                base = 0
+            elif component == 'dust':
+                base = half
+            else:
+                raise ValueError("component should be one of total/source/"
+                                 "dust since track_origin='scatterings'")
+            if n_scat is None:
+                return ('sum', list(range(base, base + half)))
+            if n_scat < 0 or n_scat > track_n_scat:
+                raise ValueError("n_scat should be between 0 and %i"
+                                 % track_n_scat)
+            return base + n_scat
+
+        raise ValueError("track_origin should be one of "
+                         "basic/detailed/scatterings")
 
     def _select_group(self, technique, group):
         if technique == 'peeled':
@@ -123,8 +175,7 @@ class ModelOutput(FreezableClass):
             if uncertainties:
                 unc = unc[:, io]
         elif isinstance(io, tuple):
-            kind = io[0]
-            idx = [0, 2] if kind == 'source' else [1, 3]
+            idx = io[1]
             flux = flux[:, idx].sum(axis=1)
             if uncertainties:
                 unc = np.sqrt((unc[:, idx] ** 2).sum(axis=1))

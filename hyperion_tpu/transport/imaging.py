@@ -69,26 +69,97 @@ class PeelGroup:
     # Stokes channels: 4 (I,Q,U,V) when the conf requests polarization
     # (ref image_type.f90 n_stokes; set_stokes conf_files.py:1149)
     n_stokes: int = field(default=1, metadata=dict(static=True))
+    # Inside observer (ref images_peeled.f90:176-213): origin is the observer
+    # position; peel directions are per-photon toward the observer; images are
+    # (longitude, latitude) sky maps in degrees with 1/(4 pi d^2) dilution
+    inside: bool = field(default=False, metadata=dict(static=True))
+    # Skip the escape optical depth entirely (ref images_peeled.f90:217-223)
+    ignore_optical_depth: bool = field(default=False, metadata=dict(static=True))
+    # Convolved filter imaging: each of the n_nu channels is one filter; a
+    # photon lands in every filter with weight = tn(nu) (ref
+    # image_type.f90:467-470). filter_tn is resampled onto a uniform log10-nu
+    # grid at build time so the device-side lookup is a single gather.
+    use_filters: bool = field(default=False, metadata=dict(static=True))
+    # 'detailed'/'scatterings' origin bookkeeping (ref image_type.f90:228-241)
+    track_n_scat: int = field(default=0, metadata=dict(static=True))
+    n_sources: int = field(default=1, metadata=dict(static=True))
+    n_dust: int = field(default=1, metadata=dict(static=True))
+    # Depth cuts select which events enter the image (ref images_peeled:167);
+    # None disables the cut
+    d_min: jnp.ndarray = None
+    d_max: jnp.ndarray = None
+    filter_lognu: jnp.ndarray = None   # (n_samp,)
+    filter_tn: jnp.ndarray = None      # (n_nu, n_samp)
+    # 1/L^2 so the inside-observer 1/(4 pi d^2) dilution is in physical cm
+    inv_area: jnp.ndarray = None
 
 
-def build_peel_group(conf, dtype=jnp.float32, length_scale=1.0):
-    """Build a PeelGroup from a PeeledImageConf (external observers)."""
-    from ..util.constants import c
-    if conf.inside_observer is not None:
-        raise NotImplementedError("Inside observers not yet supported")
-    theta = np.radians([a[0] for a in conf.viewing_angles])
-    phi = np.radians([a[1] for a in conf.viewing_angles])
+def _viewing_frames(angles):
+    """(theta, phi) degrees -> (view, east, north) unit-vector triplets.
+    view is the photon travel direction toward the observer; (east, north)
+    span the image plane. For inside observers these same rows are the sky
+    rotation matrix R = [r_hat; phi_hat; -theta_hat]."""
+    theta = np.radians([a[0] for a in angles])
+    phi = np.radians([a[1] for a in angles])
     st, ct = np.sin(theta), np.cos(theta)
     sp, cp = np.sin(phi), np.cos(phi)
     view = np.stack([st * cp, st * sp, ct], axis=1)
     east = np.stack([-sp, cp, np.zeros_like(sp)], axis=1)
     north = np.stack([-ct * cp, -ct * sp, st], axis=1)
-    L = float(length_scale)
-    origin = np.asarray(conf.peeloff_origin or (0.0, 0.0, 0.0), float) / L
+    return view, east, north
 
+
+def _n_orig(track, track_n_scat, n_sources, n_dust):
+    """Number of origin slices per track mode (ref image_type.f90:228-241)."""
+    if track == 'no':
+        return 1
+    if track == 'basic':
+        return 4
+    if track == 'detailed':
+        return 2 * (n_sources + n_dust)
+    if track == 'scatterings':
+        return 2 * (track_n_scat + 2)
+    raise ValueError("unknown track_origin flag: %s" % track)
+
+
+def _resample_filters(filters, n_samp=512):
+    """Resample every filter's normalized response tn onto one shared uniform
+    log10(nu) grid (linear interpolation in nu, zero outside each filter's
+    support) so the engine-side per-photon lookup is a single gather."""
+    lo = min(float(np.min(f.nu)) for f in filters)
+    hi = max(float(np.max(f.nu)) for f in filters)
+    lognu = np.linspace(np.log10(lo), np.log10(hi), n_samp)
+    grid = 10.0 ** lognu
+    tn = np.zeros((len(filters), n_samp))
+    for i, filt in enumerate(filters):
+        fnu, ftn = filt.normalized_response
+        tn[i] = np.interp(grid, fnu, ftn, left=0.0, right=0.0)
+    return lognu, tn
+
+
+def build_peel_group(conf, dtype=jnp.float32, length_scale=1.0,
+                     n_sources=1, n_dust=1):
+    """Build a PeelGroup from a PeeledImageConf."""
+    from ..util.constants import c
+    L = float(length_scale)
+    inside = conf.inside_observer is not None
+    if inside:
+        angles = conf.viewing_angles or [(90.0, 0.0)]
+        origin = np.asarray(conf.inside_observer, float) / L
+    else:
+        angles = conf.viewing_angles
+        origin = np.asarray(conf.peeloff_origin or (0.0, 0.0, 0.0), float) / L
+    view, east, north = _viewing_frames(angles)
+
+    filters = getattr(conf, '_filters', None) or []
+    filter_lognu = filter_tn = None
     if conf._monochromatic:
         n_nu = conf.iwav_max - conf.iwav_min + 1
         nu_min, nu_max = 1.0, 10.0  # unused: bins are frequency indices
+    elif filters:
+        n_nu = len(filters)
+        nu_min, nu_max = 1.0, 10.0  # unused: bins are filter channels
+        filter_lognu, filter_tn = _resample_filters(filters)
     else:
         nu_min = c / (conf.wav_max * 1.e-4)
         nu_max = c / (conf.wav_min * 1.e-4)
@@ -102,21 +173,25 @@ def build_peel_group(conf, dtype=jnp.float32, length_scale=1.0):
         n_ap = 1
 
     track = conf.track_origin
-    if track not in ('no', 'basic'):
-        raise NotImplementedError("track_origin='%s' not yet supported" % track)
-    n_orig = 4 if track == 'basic' else 1
+    track_n_scat = int(conf.track_n_scat or 0)
+    n_orig = _n_orig(track, track_n_scat, n_sources, n_dust)
+
+    d_min = getattr(conf, 'd_min', None)
+    d_max = getattr(conf, 'd_max', None)
 
     f = lambda v: jnp.asarray(v, dtype=dtype)
+    # image limits: degrees (lon/lat) for inside observers, cm/L otherwise
+    lim = (lambda v: f(v)) if inside else (lambda v: f(v / L))
     return PeelGroup(
         view_dir=f(view), east=f(east), north=f(north), origin=f(origin),
-        xmin=f(conf.xmin / L if conf.image else 0.0),
-        xmax=f(conf.xmax / L if conf.image else 0.0),
-        ymin=f(conf.ymin / L if conf.image else 0.0),
-        ymax=f(conf.ymax / L if conf.image else 0.0),
+        xmin=lim(conf.xmin) if conf.image else f(0.0),
+        xmax=lim(conf.xmax) if conf.image else f(0.0),
+        ymin=lim(conf.ymin) if conf.image else f(0.0),
+        ymax=lim(conf.ymax) if conf.image else f(0.0),
         log10_nu_min=f(np.log10(nu_min)), log10_nu_max=f(np.log10(nu_max)),
         log10_ap_min=f(np.log10(ap_min) if np.isfinite(ap_min) else 300.0),
         log10_ap_max=f(np.log10(ap_max) if np.isfinite(ap_max) else 300.0),
-        n_view=len(conf.viewing_angles),
+        n_view=len(angles),
         n_x=conf.n_x if conf.image else 1,
         n_y=conf.n_y if conf.image else 1,
         n_nu=n_nu, n_ap=n_ap, n_orig=n_orig,
@@ -124,18 +199,37 @@ def build_peel_group(conf, dtype=jnp.float32, length_scale=1.0):
         uncertainties=bool(conf.uncertainties), track_origin=track,
         monochromatic=bool(conf._monochromatic),
         iwav_min=int(conf.iwav_min or 0) if conf._monochromatic else 0,
-        n_stokes=4 if conf.stokes else 1)
+        n_stokes=4 if conf.stokes else 1,
+        inside=inside,
+        ignore_optical_depth=bool(getattr(conf, 'ignore_optical_depth',
+                                          False)),
+        use_filters=bool(filters),
+        track_n_scat=track_n_scat, n_sources=n_sources, n_dust=n_dust,
+        d_min=None if d_min is None else f(d_min / L),
+        d_max=None if d_max is None else f(d_max / L),
+        filter_lognu=None if filter_lognu is None else f(filter_lognu),
+        filter_tn=None if filter_tn is None else f(filter_tn),
+        inv_area=f(1.0 / L ** 2) if inside else None)
 
 
-def build_binned_group(conf, dtype=jnp.float32, length_scale=1.0):
+def build_binned_group(conf, dtype=jnp.float32, length_scale=1.0,
+                       n_sources=1, n_dust=1):
     """Build a PeelGroup-shaped spec for binned images: n_view =
     n_theta * n_phi direction bins (ref: images_binned.f90:57-95). The view
     direction arrays are unused — image axes are derived per photon from its
     own exit direction."""
     from ..util.constants import c
     L = float(length_scale)
-    nu_min = c / (conf.wav_max * 1.e-4)
-    nu_max = c / (conf.wav_min * 1.e-4)
+    filters = getattr(conf, '_filters', None) or []
+    filter_lognu = filter_tn = None
+    if filters:
+        n_nu = len(filters)
+        nu_min, nu_max = 1.0, 10.0
+        filter_lognu, filter_tn = _resample_filters(filters)
+    else:
+        nu_min = c / (conf.wav_max * 1.e-4)
+        nu_max = c / (conf.wav_min * 1.e-4)
+        n_nu = conf.n_wav
     if conf.sed:
         ap_min, ap_max = conf.ap_min / L, conf.ap_max / L
         n_ap = conf.n_ap
@@ -143,9 +237,8 @@ def build_binned_group(conf, dtype=jnp.float32, length_scale=1.0):
         ap_min = ap_max = np.inf
         n_ap = 1
     track = conf.track_origin
-    if track not in ('no', 'basic'):
-        raise NotImplementedError("track_origin='%s' not yet supported" % track)
-    n_orig = 4 if track == 'basic' else 1
+    track_n_scat = int(conf.track_n_scat or 0)
+    n_orig = _n_orig(track, track_n_scat, n_sources, n_dust)
     n_view = conf.n_theta * conf.n_phi
     f = lambda v: jnp.asarray(v, dtype=dtype)
     z3 = f(np.zeros((n_view, 3)))
@@ -160,14 +253,144 @@ def build_binned_group(conf, dtype=jnp.float32, length_scale=1.0):
         log10_ap_max=f(np.log10(ap_max) if np.isfinite(ap_max) else 300.0),
         n_view=n_view, n_x=conf.n_x if conf.image else 1,
         n_y=conf.n_y if conf.image else 1,
-        n_nu=conf.n_wav, n_ap=n_ap, n_orig=n_orig,
+        n_nu=n_nu, n_ap=n_ap, n_orig=n_orig,
         compute_image=bool(conf.image), compute_sed=bool(conf.sed),
         uncertainties=bool(conf.uncertainties), track_origin=track,
-        n_stokes=4 if conf.stokes else 1)
+        n_stokes=4 if conf.stokes else 1,
+        use_filters=bool(filters),
+        track_n_scat=track_n_scat, n_sources=n_sources, n_dust=n_dust,
+        filter_lognu=None if filter_lognu is None else f(filter_lognu),
+        filter_tn=None if filter_tn is None else f(filter_tn))
+
+
+class Provenance(NamedTuple):
+    """Photon origin bookkeeping at a peel/bin event (the inputs the four
+    track_origin modes need; ref orig() image_type.f90:117-134 and the
+    detailed/scatterings io expansion :443-461)."""
+    scattered: jnp.ndarray    # this event is (or the photon last was) a scatter
+    reprocessed: jnp.ndarray  # photon was (re-)emitted by dust
+    source_id: jnp.ndarray    # emitting source row
+    dust_id: jnp.ndarray      # last interacting dust population
+    n_scat: jnp.ndarray       # scatterings since emission
+
+
+def basic_provenance(orig_idx, like):
+    """Build a Provenance from a basic 0-3 origin index (for callers that do
+    not track per-id provenance, e.g. the monochromatic iteration)."""
+    zi = jnp.zeros_like(like, dtype=jnp.int32)
+    orig_idx = jnp.broadcast_to(jnp.asarray(orig_idx, jnp.int32), zi.shape)
+    scattered = (orig_idx == ORIG_SOURCE_SCAT) | (orig_idx == ORIG_DUST_SCAT)
+    reproc = (orig_idx == ORIG_DUST_EMIT) | (orig_idx == ORIG_DUST_SCAT)
+    return Provenance(scattered=scattered, reprocessed=reproc,
+                      source_id=zi, dust_id=zi,
+                      n_scat=scattered.astype(jnp.int32))
+
+
+def origin_index(group, prov):
+    """Per-lane origin slice (0-based) for this group's track mode."""
+    mode = group.track_origin
+    if mode == 'no':
+        return jnp.zeros_like(prov.source_id)
+    if mode == 'basic':
+        return jnp.where(
+            prov.scattered,
+            jnp.where(prov.reprocessed, ORIG_DUST_SCAT, ORIG_SOURCE_SCAT),
+            jnp.where(prov.reprocessed, ORIG_DUST_EMIT, ORIG_SOURCE_EMIT))
+    if mode == 'detailed':
+        # slices: [sources emit][dusts emit][sources scat][dusts scat]
+        ns, nd = group.n_sources, group.n_dust
+        base = jnp.where(prov.scattered, ns + nd, 0)
+        return base + jnp.where(prov.reprocessed, ns + prov.dust_id,
+                                prov.source_id)
+    if mode == 'scatterings':
+        # slices 0..K = exactly n scatterings, K+1 = more, doubled for
+        # reprocessed flux (ref image_type.f90:451-461)
+        cap = group.track_n_scat + 1
+        io = jnp.minimum(prov.n_scat, cap)
+        return io + jnp.where(prov.reprocessed, cap + 1, 0)
+    raise ValueError("unknown track_origin flag: %s" % mode)
+
+
+def filter_transmissions(group, nu):
+    """(B, n_filt) filter responses at each lane's frequency: linear
+    interpolation on the shared log10-nu resampled grid, zero outside."""
+    grid = group.filter_lognu
+    n_samp = grid.shape[0]
+    lognu = jnp.log10(nu)
+    j = jnp.clip(jnp.searchsorted(grid, lognu), 1, n_samp - 1)
+    w = (lognu - grid[j - 1]) / (grid[j] - grid[j - 1])
+    tr = group.filter_tn[:, j - 1] * (1.0 - w) + group.filter_tn[:, j] * w
+    inside = (lognu >= grid[0]) & (lognu <= grid[-1])
+    return jnp.where(inside[None, :], tr, 0.0).T
+
+
+def _deposit(group, cube, cube2, cuben, spatial_idx, ok_base, inu, nu_ok, tr,
+             io, flux_s):
+    """Scatter-add fluxes into a (.., n_nu, n_orig, n_stokes)-flattened cube.
+
+    With ``tr`` (B, n_filt) the lane lands in every filter channel weighted by
+    its transmission; otherwise in its single ``inu`` bin. Returns the three
+    updated (cube, cube^2, count) arrays.
+    """
+    size = cube.size
+    flat = cube.reshape(-1)
+    flat2 = cube2.reshape(-1)
+    flatn = cuben.reshape(-1)
+    if tr is None:
+        channels = [(inu, ok_base & nu_ok, None)]
+    else:
+        channels = [(f, ok_base & (tr[:, f] > 0.0), tr[:, f])
+                    for f in range(group.n_nu)]
+    for inu_c, ok, w_c in channels:
+        idx0 = ((spatial_idx * group.n_nu + inu_c) * group.n_orig + io) * \
+            group.n_stokes
+        for s_ch, fx in enumerate(flux_s):
+            v = fx if w_c is None else fx * w_c
+            idx = jnp.where(ok, idx0 + s_ch, size)
+            val = jnp.where(ok, v, 0.0)
+            flat = flat.at[idx].add(val, mode='drop')
+            if group.uncertainties:
+                flat2 = flat2.at[idx].add(val * val, mode='drop')
+                flatn = flatn.at[idx].add(jnp.where(ok, 1.0, 0.0),
+                                          mode='drop')
+    return (flat.reshape(cube.shape), flat2.reshape(cube.shape),
+            flatn.reshape(cube.shape))
+
+
+def _aperture_bin(group, x_img, y_img, cell_like, ok_base):
+    """Log-radius aperture bin for SEDs (ref find_sed_bin); photons inside
+    ap_min go to bin 0, bins are cumulated at write time."""
+    r_img = jnp.sqrt(x_img ** 2 + y_img ** 2)
+    logr = jnp.log10(jnp.maximum(r_img, 1e-300))
+    if group.n_ap == 1:
+        return jnp.zeros_like(cell_like), jnp.ones_like(ok_base)
+    fr = (logr - group.log10_ap_min) / \
+         (group.log10_ap_max - group.log10_ap_min)
+    ir = jnp.floor(fr * (group.n_ap - 1)).astype(jnp.int32) + 1
+    ir = jnp.where(logr < group.log10_ap_min, 0, ir)
+    ap_ok = ir < group.n_ap
+    return jnp.clip(ir, 0, group.n_ap - 1), ap_ok
+
+
+def _spectral_bin(group, nu, inu_global, shape):
+    """(inu, nu_ok, tr) channel info for one lane batch."""
+    if group.use_filters:
+        return None, jnp.ones(shape, dtype=bool), filter_transmissions(group,
+                                                                       nu)
+    if group.monochromatic:
+        inu = jnp.broadcast_to(
+            jnp.asarray(inu_global, jnp.int32) - group.iwav_min, shape)
+    else:
+        lognu = jnp.log10(nu)
+        fnu = (lognu - group.log10_nu_min) / (group.log10_nu_max -
+                                              group.log10_nu_min)
+        inu = jnp.floor(fnu * group.n_nu).astype(jnp.int32)
+    nu_ok = (inu >= 0) & (inu < group.n_nu)
+    return jnp.clip(inu, 0, group.n_nu - 1), nu_ok, None
 
 
 def bin_escaped(group, n_theta, n_phi, acc, x, y, z, kx, ky, kz, nu, energy,
-                orig_idx, escaped_mask, dtype, stokes_in=None):
+                prov, escaped_mask, dtype, stokes_in=None):
     """Bin escaping photons by their exit direction into the theta/phi
     view cube (ref binned_images_bin_photon, images_binned.f90:57-95)."""
     if stokes_in is None:
@@ -188,71 +411,30 @@ def bin_escaped(group, n_theta, n_phi, acc, x, y, z, kx, ky, kz, nu, energy,
     x_img = y * cp - x * sp
     y_img = z * st_ - y * ct * sp - x * ct * cp
 
-    lognu = jnp.log10(nu)
-    fnu = (lognu - group.log10_nu_min) / (group.log10_nu_max -
-                                          group.log10_nu_min)
-    inu = jnp.floor(fnu * group.n_nu).astype(jnp.int32)
-    nu_ok = (inu >= 0) & (inu < group.n_nu)
-    inu = jnp.clip(inu, 0, group.n_nu - 1)
-    io = jnp.clip(orig_idx, 0, group.n_orig - 1) if group.n_orig > 1 else \
-        jnp.zeros_like(iv)
-    ok_base = escaped_mask & nu_ok & (energy > 0.0)
+    inu, nu_ok, tr = _spectral_bin(group, nu, None, x.shape)
+    io = jnp.clip(origin_index(group, prov), 0, group.n_orig - 1)
+    ok_base = escaped_mask & (energy > 0.0)
+    flux_s = [energy * m for m in stokes_mults[:group.n_stokes]]
 
     sed, sed2, sedn = acc.sed, acc.sed2, acc.sedn
     img, img2, imgn = acc.img, acc.img2, acc.imgn
     if group.compute_sed:
-        r_img = jnp.sqrt(x_img ** 2 + y_img ** 2)
-        logr = jnp.log10(jnp.maximum(r_img, 1e-300))
-        if group.n_ap == 1:
-            ir = jnp.zeros_like(iv)
-            ap_ok = jnp.ones_like(ok_base)
-        else:
-            fr = (logr - group.log10_ap_min) / \
-                 (group.log10_ap_max - group.log10_ap_min)
-            ir = jnp.floor(fr * (group.n_ap - 1)).astype(jnp.int32) + 1
-            ir = jnp.where(logr < group.log10_ap_min, 0, ir)
-            ap_ok = ir < group.n_ap
-            ir = jnp.clip(ir, 0, group.n_ap - 1)
-        ok = ok_base & ap_ok
-        idx0 = (((iv * group.n_ap + ir) * group.n_nu + inu) * group.n_orig +
-                io) * group.n_stokes
-        sed_f, sed2_f, sedn_f = (sed.reshape(-1), sed2.reshape(-1),
-                                 sedn.reshape(-1))
-        for s_ch in range(group.n_stokes):
-            idx = jnp.where(ok, idx0 + s_ch, sed.size)
-            val = jnp.where(ok, energy * stokes_mults[s_ch], 0.0)
-            sed_f = sed_f.at[idx].add(val, mode='drop')
-            if group.uncertainties:
-                sed2_f = sed2_f.at[idx].add(val * val, mode='drop')
-                sedn_f = sedn_f.at[idx].add(jnp.where(ok, 1.0, 0.0),
-                                            mode='drop')
-        sed = sed_f.reshape(sed.shape)
-        sed2 = sed2_f.reshape(sed2.shape)
-        sedn = sedn_f.reshape(sedn.shape)
+        ir, ap_ok = _aperture_bin(group, x_img, y_img, iv, ok_base)
+        sed, sed2, sedn = _deposit(group, sed, sed2, sedn,
+                                   iv * group.n_ap + ir, ok_base & ap_ok,
+                                   inu, nu_ok, tr, io, flux_s)
     if group.compute_image:
         fx = (x_img - group.xmin) / (group.xmax - group.xmin)
         fy = (y_img - group.ymin) / (group.ymax - group.ymin)
         ix = jnp.floor(fx * group.n_x).astype(jnp.int32)
         iy = jnp.floor(fy * group.n_y).astype(jnp.int32)
-        ok = ok_base & (ix >= 0) & (ix < group.n_x) & (iy >= 0) & \
-            (iy < group.n_y)
+        in_img = (ix >= 0) & (ix < group.n_x) & (iy >= 0) & (iy < group.n_y)
         ix = jnp.clip(ix, 0, group.n_x - 1)
         iy = jnp.clip(iy, 0, group.n_y - 1)
-        idx0 = ((((iv * group.n_y + iy) * group.n_x + ix) * group.n_nu +
-                 inu) * group.n_orig + io) * group.n_stokes
-        img_f, img2_f, imgn_f = (img.reshape(-1), img2.reshape(-1),
-                                 imgn.reshape(-1))
-        for s_ch in range(group.n_stokes):
-            idx = jnp.where(ok, idx0 + s_ch, img.size)
-            val = jnp.where(ok, energy * stokes_mults[s_ch], 0.0)
-            img_f = img_f.at[idx].add(val, mode='drop')
-            if group.uncertainties:
-                img2_f = img2_f.at[idx].add(val * val, mode='drop')
-                imgn_f = imgn_f.at[idx].add(jnp.where(ok, 1.0, 0.0),
-                                            mode='drop')
-        img = img_f.reshape(img.shape)
-        img2 = img2_f.reshape(img2.shape)
-        imgn = imgn_f.reshape(imgn.shape)
+        img, img2, imgn = _deposit(group, img, img2, imgn,
+                                   (iv * group.n_y + iy) * group.n_x + ix,
+                                   ok_base & in_img, inu, nu_ok, tr, io,
+                                   flux_s)
     return PeelAccum(sed=sed, sed2=sed2, sedn=sedn, img=img, img2=img2,
                      imgn=imgn)
 
@@ -279,14 +461,18 @@ def init_peel_accum(group, dtype):
 
 
 def escape_tau_walk(geometry, density, chi_rows, x, y, z, kx, ky, kz, cell,
-                    active, max_steps=100000):
+                    active, max_steps=100000, t_max=None):
     """Batched optical depth to grid escape along fixed rays
     (ref: grid_escape_tau, src/grid/grid_propagate_3d.f90:377-480).
 
     chi_rows: (B, n_dust) cached extinction at each lane's frequency.
+    t_max: optional (B,) distance limit — integration stops there instead of
+    at the grid edge (inside observers, ref images_peeled.f90:158-161).
     Runs until every active lane has escaped; inactive lanes cost nothing
     extra because the loop condition is over the whole batch.
     """
+    limited = t_max is not None
+
     def cond2(c):
         return jnp.any(c['active']) & (c['i'] < max_steps)
 
@@ -296,20 +482,30 @@ def escape_tau_walk(geometry, density, chi_rows, x, y, z, kx, ky, kz, cell,
             cell_safe, c['x'], c['y'], c['z'], kx, ky, kz)
         rho_rows = density[:, cell_safe].T
         chi_rho = jnp.sum(chi_rows * rho_rows, axis=-1)
-        tau = c['tau'] + jnp.where(c['active'], chi_rho * t_wall, 0.0)
+        if limited:
+            seg = jnp.minimum(t_wall, c['remaining'])
+            remaining = c['remaining'] - t_wall
+        else:
+            seg = t_wall
+            remaining = c['remaining']
+        tau = c['tau'] + jnp.where(c['active'], chi_rho * seg, 0.0)
         x2 = c['x'] + t_wall * kx
         y2 = c['y'] + t_wall * ky
         z2 = c['z'] + t_wall * kz
         x2, y2, z2 = geometry.snap(x2, y2, z2, ax, wall_coord, c['active'])
         cell2 = jnp.where(c['active'], next_cell, c['cell'])
         active2 = c['active'] & (cell2 != ESCAPED)
+        if limited:
+            active2 = active2 & (remaining > 0.0)
         return dict(x=jnp.where(c['active'], x2, c['x']),
                     y=jnp.where(c['active'], y2, c['y']),
                     z=jnp.where(c['active'], z2, c['z']),
-                    cell=cell2, tau=tau, active=active2, i=c['i'] + 1)
+                    cell=cell2, tau=tau, active=active2,
+                    remaining=remaining, i=c['i'] + 1)
 
     init = dict(x=x, y=y, z=z, cell=cell,
                 tau=jnp.zeros_like(x), active=active,
+                remaining=t_max if limited else jnp.zeros_like(x),
                 i=jnp.asarray(0, dtype=jnp.int32))
     out = jax.lax.while_loop(cond2, body2, init)
     return out['tau']
@@ -338,13 +534,14 @@ def eval_phase_peel(dt, dust_id, nu, mu):
 
 def peel_and_bin(geometry, dt, density, groups, accums, p_x, p_y, p_z,
                  chi_rows, cell, nu, energy, weight_iso, is_scatter, dust_id,
-                 k_in_x, k_in_y, k_in_z, orig_idx, active, dtype,
+                 k_in_x, k_in_y, k_in_z, prov, active, dtype,
                  inu_global=None, stokes_in=None):
     """For every group and view: compute peel weight, escape tau, and bin.
 
     weight_iso: weight for isotropic events (1); scattering events use the
     scattering matrix at the angle between the incoming direction and the
     view — the full Stokes 4-vector when the group tracks polarization.
+    prov: Provenance of the lanes at this event (drives origin slicing).
     inu_global: in monochromatic mode, the exact-frequency index of every
     lane (scalar or (B,)); frequency bins are indices, not log bins.
     stokes_in: (q, u, v) of the photons (None -> unpolarized).
@@ -359,30 +556,58 @@ def peel_and_bin(geometry, dt, density, groups, accums, p_x, p_y, p_z,
     for group, acc in zip(groups, accums):
         sed, sed2, sedn = acc.sed, acc.sed2, acc.sedn
         img, img2, imgn = acc.img, acc.img2, acc.imgn
+        io = jnp.clip(origin_index(group, prov), 0, group.n_orig - 1)
+        inu, nu_ok, tr = _spectral_bin(group, nu, inu_global, cell.shape)
         for iv in range(group.n_view):
-            vd = group.view_dir[iv]
+            if group.inside:
+                # per-photon peel direction toward the observer; escape tau
+                # limited to the observer distance; 1/(4 pi d^2) dilution
+                # (ref a_peeloff:409-420, images_peeled.f90:158-161,235)
+                ddx = group.origin[0] - p_x
+                ddy = group.origin[1] - p_y
+                ddz = group.origin[2] - p_z
+                d_obs = jnp.sqrt(ddx ** 2 + ddy ** 2 + ddz ** 2)
+                d_safe = jnp.maximum(d_obs, 1e-30)
+                vdx, vdy, vdz = ddx / d_safe, ddy / d_safe, ddz / d_safe
+                t_max = d_obs
+                depth = d_obs
+            else:
+                vd = group.view_dir[iv]
+                vdx = jnp.full_like(p_x, vd[0])
+                vdy = jnp.full_like(p_x, vd[1])
+                vdz = jnp.full_like(p_x, vd[2])
+                t_max = None
+                # depth of the event along the line of sight
+                # (ref images_peeled.f90:162-167)
+                depth = -(vdx * p_x + vdy * p_y + vdz * p_z)
+
             # peel probability (Stokes-aware when any group wants it;
             # ref interact_peeloff -> dust_scatter_peeloff)
             if want_stokes:
                 wI, wQ, wU, wV = peel_scatter_stokes(
                     dt, dust_id, nu, k_in_x, k_in_y, k_in_z,
-                    q_in, u_in, v_in,
-                    jnp.full_like(p_x, vd[0]), jnp.full_like(p_x, vd[1]),
-                    jnp.full_like(p_x, vd[2]))
+                    q_in, u_in, v_in, vdx, vdy, vdz)
                 w = jnp.where(is_scatter, wI, weight_iso)
                 w_q = jnp.where(is_scatter, wQ, 0.0)
                 w_u = jnp.where(is_scatter, wU, 0.0)
                 w_v = jnp.where(is_scatter, wV, 0.0)
             else:
-                mu_req = k_in_x * vd[0] + k_in_y * vd[1] + k_in_z * vd[2]
+                mu_req = k_in_x * vdx + k_in_y * vdy + k_in_z * vdz
                 w_scat = eval_phase_peel(dt, dust_id, nu, mu_req)
                 w = jnp.where(is_scatter, w_scat, weight_iso)
                 w_q = w_u = w_v = None
 
-            tau = escape_tau_walk(geometry, density, chi_rows,
-                                  p_x, p_y, p_z, vd[0], vd[1], vd[2],
-                                  cell, active)
+            if group.ignore_optical_depth:
+                tau = jnp.zeros_like(p_x)
+            else:
+                tau = escape_tau_walk(geometry, density, chi_rows,
+                                      p_x, p_y, p_z, vdx, vdy, vdz,
+                                      cell, active, t_max=t_max)
             atten = energy * jnp.exp(-tau)
+            if group.inside:
+                dil = group.inv_area / \
+                    (4.0 * jnp.pi * jnp.maximum(d_obs, 1e-30) ** 2)
+                atten = atten * dil
             flux = w * atten
             if group.n_stokes > 1:
                 flux_s = [flux, w_q * atten, w_u * atten, w_v * atten]
@@ -390,90 +615,58 @@ def peel_and_bin(geometry, dt, density, groups, accums, p_x, p_y, p_z,
                 flux_s = [flux]
 
             # image-plane coordinates
-            dx = p_x - group.origin[0]
-            dy = p_y - group.origin[1]
-            dz = p_z - group.origin[2]
-            e, n = group.east[iv], group.north[iv]
-            x_img = dx * e[0] + dy * e[1] + dz * e[2]
-            y_img = dx * n[0] + dy * n[1] + dz * n[2]
-
-            # frequency bin
-            if group.monochromatic:
-                inu = jnp.broadcast_to(
-                    jnp.asarray(inu_global, jnp.int32) - group.iwav_min,
-                    cell.shape)
+            if group.inside:
+                # sky projection: rotate the (toward-observer-flipped) photon
+                # direction into the view frame R=[r_hat; east; north] and
+                # take (lon, lat) in degrees with wraparound
+                # (ref images_peeled.f90:176-206)
+                r_hat, e, n = (group.view_dir[iv], group.east[iv],
+                               group.north[iv])
+                vax, vay, vaz = vdx, vdy, vdz
+                vs_x = vax * r_hat[0] + vay * r_hat[1] + vaz * r_hat[2]
+                vs_y = vax * e[0] + vay * e[1] + vaz * e[2]
+                vs_z = vax * n[0] + vay * n[1] + vaz * n[2]
+                rad2deg = 180.0 / jnp.pi
+                x_img = jnp.arctan2(vs_y, vs_x) * rad2deg
+                y_img = jnp.arctan2(jnp.sqrt(vs_x ** 2 + vs_y ** 2),
+                                    vs_z) * rad2deg - 90.0
+                if group.compute_image:
+                    x_img = group.xmax + jnp.mod(x_img - group.xmax, 360.0)
+                    y_img = group.ymin + jnp.mod(y_img - group.ymin, 360.0)
             else:
-                lognu = jnp.log10(nu)
-                fnu = (lognu - group.log10_nu_min) / \
-                      (group.log10_nu_max - group.log10_nu_min)
-                inu = jnp.floor(fnu * group.n_nu).astype(jnp.int32)
-            nu_ok = (inu >= 0) & (inu < group.n_nu)
-            inu = jnp.clip(inu, 0, group.n_nu - 1)
+                dx = p_x - group.origin[0]
+                dy = p_y - group.origin[1]
+                dz = p_z - group.origin[2]
+                e, n = group.east[iv], group.north[iv]
+                x_img = dx * e[0] + dy * e[1] + dz * e[2]
+                y_img = dx * n[0] + dy * n[1] + dz * n[2]
 
-            io = jnp.clip(orig_idx, 0, group.n_orig - 1) \
-                if group.n_orig > 1 else jnp.zeros_like(cell)
-
-            ok_base = active & nu_ok & (flux > 0.0)
+            ok_base = active & (flux > 0.0)
+            if group.d_min is not None:
+                ok_base = ok_base & (depth >= group.d_min)
+            if group.d_max is not None:
+                ok_base = ok_base & (depth <= group.d_max)
+            iv_idx = jnp.full_like(cell, iv)
 
             if group.compute_sed:
-                # aperture bin (ref find_sed_bin: log radius bins; photons
-                # inside ap_min go to bin 0; bins are cumulated at write time)
-                r_img = jnp.sqrt(x_img ** 2 + y_img ** 2)
-                logr = jnp.log10(jnp.maximum(r_img, 1e-300))
-                if group.n_ap == 1:
-                    ir = jnp.zeros_like(cell)
-                    ap_ok = jnp.ones_like(ok_base)
-                else:
-                    fr = (logr - group.log10_ap_min) / \
-                         (group.log10_ap_max - group.log10_ap_min)
-                    ir = jnp.floor(fr * (group.n_ap - 1)).astype(jnp.int32) + 1
-                    ir = jnp.where(logr < group.log10_ap_min, 0, ir)
-                    ap_ok = ir < group.n_ap
-                    ir = jnp.clip(ir, 0, group.n_ap - 1)
-                ok = ok_base & ap_ok
-                iv_idx = jnp.full_like(cell, iv)
-                idx0 = (((iv_idx * group.n_ap + ir) * group.n_nu + inu) *
-                        group.n_orig + io) * group.n_stokes
-                sed_f, sed2_f, sedn_f = (sed.reshape(-1), sed2.reshape(-1),
-                                         sedn.reshape(-1))
-                for s_ch, fx_s in enumerate(flux_s):
-                    idx = jnp.where(ok, idx0 + s_ch, sed.size)
-                    val = jnp.where(ok, fx_s, 0.0)
-                    sed_f = sed_f.at[idx].add(val, mode='drop')
-                    if group.uncertainties:
-                        sed2_f = sed2_f.at[idx].add(val * val, mode='drop')
-                        sedn_f = sedn_f.at[idx].add(
-                            jnp.where(ok, 1.0, 0.0), mode='drop')
-                sed = sed_f.reshape(sed.shape)
-                sed2 = sed2_f.reshape(sed2.shape)
-                sedn = sedn_f.reshape(sedn.shape)
+                ir, ap_ok = _aperture_bin(group, x_img, y_img, cell, ok_base)
+                sed, sed2, sedn = _deposit(
+                    group, sed, sed2, sedn, iv_idx * group.n_ap + ir,
+                    ok_base & ap_ok, inu, nu_ok, tr, io, flux_s)
 
             if group.compute_image:
                 fx = (x_img - group.xmin) / (group.xmax - group.xmin)
                 fy = (y_img - group.ymin) / (group.ymax - group.ymin)
                 ix = jnp.floor(fx * group.n_x).astype(jnp.int32)
                 iy = jnp.floor(fy * group.n_y).astype(jnp.int32)
-                ok = ok_base & (ix >= 0) & (ix < group.n_x) & \
+                in_img = (ix >= 0) & (ix < group.n_x) & \
                     (iy >= 0) & (iy < group.n_y)
                 ix = jnp.clip(ix, 0, group.n_x - 1)
                 iy = jnp.clip(iy, 0, group.n_y - 1)
-                iv_idx = jnp.full_like(cell, iv)
-                idx0 = ((((iv_idx * group.n_y + iy) * group.n_x + ix) *
-                         group.n_nu + inu) * group.n_orig + io) * \
-                    group.n_stokes
-                img_f, img2_f, imgn_f = (img.reshape(-1), img2.reshape(-1),
-                                         imgn.reshape(-1))
-                for s_ch, fx_s in enumerate(flux_s):
-                    idx = jnp.where(ok, idx0 + s_ch, img.size)
-                    val = jnp.where(ok, fx_s, 0.0)
-                    img_f = img_f.at[idx].add(val, mode='drop')
-                    if group.uncertainties:
-                        img2_f = img2_f.at[idx].add(val * val, mode='drop')
-                        imgn_f = imgn_f.at[idx].add(
-                            jnp.where(ok, 1.0, 0.0), mode='drop')
-                img = img_f.reshape(img.shape)
-                img2 = img2_f.reshape(img2.shape)
-                imgn = imgn_f.reshape(imgn.shape)
+                img, img2, imgn = _deposit(
+                    group, img, img2, imgn,
+                    (iv_idx * group.n_y + iy) * group.n_x + ix,
+                    ok_base & in_img, inu, nu_ok, tr, io, flux_s)
 
         new_accums.append(PeelAccum(sed=sed, sed2=sed2, sedn=sedn,
                                     img=img, img2=img2, imgn=imgn))
@@ -497,6 +690,9 @@ class FinalPacketState(NamedTuple):
     alive: jnp.ndarray
     reprocessed: jnp.ndarray   # ever re-emitted by dust
     scattered: jnp.ndarray     # scattered since last emission
+    source_id: jnp.ndarray     # emitting source row (detailed origin)
+    dust_id: jnp.ndarray       # last interacting dust population
+    n_scat: jnp.ndarray        # scatterings since source emission
     chi: jnp.ndarray
     kappa: jnp.ndarray
     albedo: jnp.ndarray
@@ -601,6 +797,9 @@ def make_final_step(geometry, dt, st, density, jnu_var_id, jnu_var_frac,
             alive=p.alive | (emitted & (energy_new > 0.0)),
             reprocessed=jnp.where(can, False, p.reprocessed),
             scattered=jnp.where(can, False, p.scattered),
+            source_id=jnp.where(can, new['source'], p.source_id),
+            dust_id=jnp.where(can, 0, p.dust_id),
+            n_scat=jnp.where(can, 0, p.n_scat),
             chi=m2(p.chi, chi_n), kappa=m2(p.kappa, kappa_n),
             albedo=m2(p.albedo, alb_n),
             q=jnp.where(can, 0.0, p.q), u=jnp.where(can, 0.0, p.u),
@@ -615,14 +814,19 @@ def make_final_step(geometry, dt, st, density, jnu_var_id, jnu_var_frac,
         peel_emit = (emitted & reemit_ok) if peeloff_scattering_only \
             else emitted
         if (not peeloff_scattering_only) or reabs_on:
+            prov_emit = Provenance(
+                scattered=jnp.zeros_like(emitted),
+                reprocessed=jnp.zeros_like(emitted),
+                source_id=packets.source_id,
+                dust_id=packets.dust_id,
+                n_scat=jnp.zeros_like(packets.n_scat))
             accums = peel_and_bin(
                 geometry, dt, density, groups, accums,
                 packets.x, packets.y, packets.z, packets.chi, packets.cell,
                 packets.nu, jnp.where(peel_emit, energy_peel, 0.0),
                 jnp.ones_like(packets.x), jnp.zeros_like(emitted),
                 jnp.zeros_like(packets.cell), packets.kx, packets.ky,
-                packets.kz, jnp.full_like(packets.cell, ORIG_SOURCE_EMIT),
-                peel_emit, dtype)
+                packets.kz, prov_emit, peel_emit, dtype)
 
         p = packets
         budget = carry['budget'] - n_new
@@ -699,11 +903,16 @@ def make_final_step(geometry, dt, st, density, jnu_var_id, jnu_var_frac,
 
         # ---- interaction peeloff -------------------------------------------
         # Origin: scattering keeps the last-emission provenance; absorption
-        # resets to dust emission (ref orig(), image_type.f90:117-134)
-        orig_idx = jnp.where(
-            scattered_now,
-            jnp.where(p.reprocessed, ORIG_DUST_SCAT, ORIG_SOURCE_SCAT),
-            ORIG_DUST_EMIT)
+        # resets to dust emission (ref orig(), image_type.f90:117-134).
+        # n_scat counts scatterings since emission and survives dust
+        # re-emission (ref dust_interact.f90:70 — only increments)
+        n_scat_now = p.n_scat + scattered_now.astype(jnp.int32)
+        dust_id_now = jnp.where(interacting, d_sel.astype(jnp.int32),
+                                p.dust_id)
+        prov_int = Provenance(
+            scattered=scattered_now,
+            reprocessed=jnp.where(scattered_now, p.reprocessed, True),
+            source_id=p.source_id, dust_id=dust_id_now, n_scat=n_scat_now)
         # refresh opacities for re-emitted lanes BEFORE peeling: the peel
         # escape-tau must use the re-emitted frequency's extinction
         # (ref: interact() calls update_optconsts before peeloff_photon)
@@ -724,7 +933,7 @@ def make_final_step(geometry, dt, st, density, jnu_var_id, jnu_var_frac,
             geometry, dt, density, groups, accums,
             x, y, z, chi, cell, nu, p.energy,
             jnp.ones_like(x), scattered_now, d_sel,
-            p.kx, p.ky, p.kz, orig_idx, peel_events, dtype,
+            p.kx, p.ky, p.kz, prov_int, peel_events, dtype,
             stokes_in=(p.q, p.u, p.v))
 
         tau = jnp.where(interacting, random_exp(k_tau2, tau.shape, dtype), tau)
@@ -747,13 +956,12 @@ def make_final_step(geometry, dt, st, density, jnu_var_id, jnu_var_frac,
         binned_acc = carry.get('binned_acc')
         if binned is not None:
             bgroup, n_theta, n_phi = binned
-            orig_escape = jnp.where(
-                p.scattered,
-                jnp.where(p.reprocessed, ORIG_DUST_SCAT, ORIG_SOURCE_SCAT),
-                jnp.where(p.reprocessed, ORIG_DUST_EMIT, ORIG_SOURCE_EMIT))
+            prov_escape = Provenance(
+                scattered=p.scattered, reprocessed=p.reprocessed,
+                source_id=p.source_id, dust_id=p.dust_id, n_scat=p.n_scat)
             binned_acc = bin_escaped(bgroup, n_theta, n_phi, binned_acc,
                                      x, y, z, p.kx, p.ky, p.kz, p.nu,
-                                     p.energy, orig_escape, escaped, dtype,
+                                     p.energy, prov_escape, escaped, dtype,
                                      stokes_in=(p.q, p.u, p.v))
 
         packets = FinalPacketState(
@@ -761,6 +969,7 @@ def make_final_step(geometry, dt, st, density, jnu_var_id, jnu_var_frac,
             cell=cell, tau=tau, n_inter=n_inter, n_reabs=n_reabs,
             reemit_src=reemit_src, alive=alive,
             reprocessed=reprocessed, scattered=scattered_flag,
+            source_id=p.source_id, dust_id=dust_id_now, n_scat=n_scat_now,
             chi=chi, kappa=kappa, albedo=albedo,
             q=q_new, u=u_new, v=v_new)
 
@@ -798,6 +1007,9 @@ def final_iteration_impl(geometry, dt, st, density, jnu_var_id, jnu_var_frac,
         alive=jnp.zeros((B,), dtype=bool),
         reprocessed=jnp.zeros((B,), dtype=bool),
         scattered=jnp.zeros((B,), dtype=bool),
+        source_id=jnp.zeros((B,), dtype=jnp.int32),
+        dust_id=jnp.zeros((B,), dtype=jnp.int32),
+        n_scat=jnp.zeros((B,), dtype=jnp.int32),
         chi=zeros(B, n_dust), kappa=zeros(B, n_dust),
         albedo=zeros(B, n_dust),
         q=zeros(B), u=zeros(B), v=zeros(B))

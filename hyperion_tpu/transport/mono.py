@@ -36,6 +36,7 @@ from .sampling import (isotropic_direction, random_exp, rotate_direction,
                        sample_cdf_rows2)
 from .engine import select_dust, sample_scattering_mu
 from .imaging import (peel_and_bin, escape_tau_walk, init_peel_accum,
+                      basic_provenance,
                       ORIG_SOURCE_EMIT, ORIG_DUST_EMIT, ORIG_SOURCE_SCAT,
                       ORIG_DUST_SCAT)
 
@@ -339,7 +340,7 @@ def _make_mono_step(geometry, dt, st, density, groups, config, mode,
                 jnp.ones((B,), dtype=dtype), jnp.zeros((B,), dtype=bool),
                 jnp.zeros((B,), dtype=jnp.int32),
                 packets.kx, packets.ky, packets.kz,
-                orig_emit_rows,
+                basic_provenance(orig_emit_rows, packets.cell),
                 peel_emit, dtype, inu_global=inu_global)
 
         p = packets
@@ -418,8 +419,8 @@ def _make_mono_step(geometry, dt, st, density, groups, config, mode,
             x, y, z, chi_rows, cell,
             jnp.full((B,), nu_value, dtype=dtype), energy,
             jnp.ones((B,), dtype=dtype), jnp.ones((B,), dtype=bool),
-            d_sel, p.kx, p.ky, p.kz, orig_idx, peel_events, dtype,
-            inu_global=inu_global)
+            d_sel, p.kx, p.ky, p.kz, basic_provenance(orig_idx, cell),
+            peel_events, dtype, inu_global=inu_global)
 
         tau = jnp.where(interacting, random_exp(k_tau2, (B,), dtype), tau)
         packets = MonoPacketState(
