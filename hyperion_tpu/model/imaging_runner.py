@@ -69,7 +69,9 @@ def run_imaging(model, out, geometry, dt, st, density, specific_energy,
         binned_group=binned_group, binned_dims=binned_dims,
         ffi_algorithm=model.forced_first_interaction_algorithm,
         ffi_baes16_xi=model.forced_first_interaction_baes16_xi,
-        mesh=mesh)
+        mesh=mesh,
+        use_mrw=model.mrw, mrw_gamma=getattr(model, 'mrw_gamma', 1.0),
+        n_mrw_max=getattr(model, 'n_inter_mrw_max', 1000))
 
     scale = float(st.energy_total) / max(energy_current, 1e-300)
 

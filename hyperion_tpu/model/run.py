@@ -148,7 +148,8 @@ def run_model(model, filename, batch_size=None, dtype=None, parallel=False):
     dt = build_dust_tables(dusts, dtype=dtype)
     st = build_source_tables(model.sources, dtype=dtype,
                              length_scale=geometry.length_scale,
-                             sample_evenly=model.sample_sources_evenly)
+                             sample_evenly=model.sample_sources_evenly,
+                             grid=model.grid)
     density = _density_array(model, dtype, geometry.length_scale)
     n_cells = density.shape[1]
 
@@ -192,6 +193,7 @@ def run_model(model, filename, batch_size=None, dtype=None, parallel=False):
             mrw_gamma=getattr(model, 'mrw_gamma', 1.0),
             n_mrw_max=getattr(model, 'n_inter_mrw_max', 1000),
             use_pda=model.pda, pda_tables=_pda_tables(model),
+            check_frequency=getattr(model, '_frequency', 0.0),
             mesh=mesh, verbose=True, iteration_callback=callback)
 
     # ---- write output -------------------------------------------------------

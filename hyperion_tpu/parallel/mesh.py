@@ -46,13 +46,13 @@ def resolve_mesh(parallel):
 
 @lru_cache(maxsize=None)
 def _lucy_sharded_fn(mesh, batch_size_per_device, config_tuple, has_mrw,
-                     axis_name):
+                     has_se_rho, axis_name):
     from ..transport.engine import lucy_iteration_impl
 
     n_dev = mesh.devices.size
 
     def per_device(geometry, dt, st, density, jnu_var_id, jnu_var_frac, key,
-                   n_photons_arr, mrw_tables):
+                   n_photons_arr, mrw_tables, se_rho):
         idx = jax.lax.axis_index(axis_name)
         key = jax.random.fold_in(key, idx)
         share = n_photons_arr // n_dev + jnp.where(
@@ -60,7 +60,8 @@ def _lucy_sharded_fn(mesh, batch_size_per_device, config_tuple, has_mrw,
         out = lucy_iteration_impl(geometry, dt, st, density, jnu_var_id,
                                   jnu_var_frac, key, share,
                                   batch_size_per_device, config_tuple,
-                                  mrw=mrw_tables if has_mrw else None)
+                                  mrw=mrw_tables if has_mrw else None,
+                                  se_rho=se_rho if has_se_rho else None)
         energy_sum, energy_current, n_photons_cell, killed_int, killed_geo, \
             n_steps = out
         # The reference's mp_collect_physical_arrays + mp_sync
@@ -74,7 +75,7 @@ def _lucy_sharded_fn(mesh, batch_size_per_device, config_tuple, has_mrw,
                 killed_geo, n_steps)
 
     rep = P()
-    fn = jax.shard_map(per_device, mesh=mesh, in_specs=(rep,) * 9,
+    fn = jax.shard_map(per_device, mesh=mesh, in_specs=(rep,) * 10,
                        out_specs=rep, check_vma=False)
     return jax.jit(fn)
 
@@ -82,7 +83,7 @@ def _lucy_sharded_fn(mesh, batch_size_per_device, config_tuple, has_mrw,
 def run_lucy_iteration_sharded(mesh, geometry, dt, st, density, jnu_var_id,
                                jnu_var_frac, key, n_photons,
                                batch_size_per_device, config_tuple,
-                               mrw=None, axis_name='dp'):
+                               mrw=None, se_rho=None, axis_name='dp'):
     """One Lucy iteration with packets sharded over the mesh.
 
     ``n_photons`` is the total budget; it is split evenly across devices
@@ -90,20 +91,22 @@ def run_lucy_iteration_sharded(mesh, geometry, dt, st, density, jnu_var_id,
     (psum), so results are identical in layout to the single-device path.
     """
     fn = _lucy_sharded_fn(mesh, batch_size_per_device, config_tuple,
-                          mrw is not None, axis_name)
+                          mrw is not None, se_rho is not None, axis_name)
     return fn(geometry, dt, st, density, jnu_var_id, jnu_var_frac,
-              key, jnp.asarray(n_photons), mrw)
+              key, jnp.asarray(n_photons), mrw,
+              se_rho if se_rho is not None else jnp.zeros_like(density))
 
 
 @lru_cache(maxsize=None)
 def _final_sharded_fn(mesh, batch_size_per_device, config_tuple, binned_dims,
-                      axis_name):
+                      has_se_rho, has_mrw, axis_name):
     from ..transport.imaging import final_iteration_impl
 
     n_dev = mesh.devices.size
 
     def per_device(geometry, dt, st, density, jnu_var_id, jnu_var_frac,
-                   groups, key, n_photons_arr, binned_group_arg):
+                   groups, key, n_photons_arr, binned_group_arg, se_rho,
+                   mrw_tables):
         idx = jax.lax.axis_index(axis_name)
         key = jax.random.fold_in(key, idx)
         share = n_photons_arr // n_dev + jnp.where(
@@ -113,7 +116,9 @@ def _final_sharded_fn(mesh, batch_size_per_device, config_tuple, binned_dims,
                                  jnu_var_frac, groups, key, share,
                                  batch_size_per_device, config_tuple,
                                  binned_group=binned_group_arg,
-                                 binned_dims=binned_dims)
+                                 binned_dims=binned_dims,
+                                 se_rho=se_rho if has_se_rho else None,
+                                 mrw=mrw_tables if has_mrw else None)
         # the reference's image-cube reduction (value, sum², count channels
         # all SUM-reduce; ref mp_collect_images, mpi_routines.f90:363-471)
         accums = jax.lax.psum(accums, axis_name)
@@ -125,7 +130,7 @@ def _final_sharded_fn(mesh, batch_size_per_device, config_tuple, binned_dims,
         return accums, binned_acc, energy_current, killed_int, n_steps
 
     rep = P()
-    fn = jax.shard_map(per_device, mesh=mesh, in_specs=(rep,) * 10,
+    fn = jax.shard_map(per_device, mesh=mesh, in_specs=(rep,) * 12,
                        out_specs=rep, check_vma=False)
     return jax.jit(fn)
 
@@ -133,13 +138,17 @@ def _final_sharded_fn(mesh, batch_size_per_device, config_tuple, binned_dims,
 def run_final_sharded(mesh, geometry, dt, st, density, jnu_var_id,
                       jnu_var_frac, groups, key, n_photons,
                       batch_size_per_device, config_tuple,
-                      binned_group=None, binned_dims=None, axis_name='dp'):
+                      binned_group=None, binned_dims=None, se_rho=None,
+                      mrw=None, axis_name='dp'):
     """Imaging iteration with packets sharded over the mesh; image/SED flux
     cubes come back fully psum-reduced."""
     fn = _final_sharded_fn(mesh, batch_size_per_device, config_tuple,
-                           binned_dims, axis_name)
+                           binned_dims, se_rho is not None, mrw is not None,
+                           axis_name)
     return fn(geometry, dt, st, density, jnu_var_id, jnu_var_frac,
-              list(groups), key, jnp.asarray(n_photons), binned_group)
+              list(groups), key, jnp.asarray(n_photons), binned_group,
+              se_rho if se_rho is not None else jnp.zeros_like(density),
+              mrw)
 
 
 @lru_cache(maxsize=None)

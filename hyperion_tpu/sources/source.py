@@ -398,7 +398,7 @@ class SpotSource(Source):
                validate=_scalar_in(0, 360), attrs='longitude'),
         _Field('latitude', "Latitude of the spot (degrees).",
                validate=_scalar_in(-90, 90), attrs='latitude'),
-        _Field('radius', "Radius of the parent spherical source (cm).",
+        _Field('radius', "Angular radius of the spot (degrees).",
                validate=_positive_scalar, attrs='radius'),
     )
 

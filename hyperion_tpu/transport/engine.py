@@ -111,7 +111,7 @@ def select_dust(key, chi, density_rows):
 
 
 def make_lucy_step(geometry, dt, st, density, jnu_var_id, jnu_var_frac,
-                   config, mrw=None):
+                   config, mrw=None, se_rho=None):
     """Build the while_loop body for one Lucy iteration.
 
     density: (n_dust, n_cells); jnu_var_id/frac: (n_dust, n_cells) emissivity
@@ -130,6 +130,16 @@ def make_lucy_step(geometry, dt, st, density, jnu_var_id, jnu_var_frac,
     # source.f90:206-227).
     reabs_on = bool(config.get('source_intersect', False))
     n_reabs_max = int(config.get('n_reabs_max', 0))
+
+    # MapSource / LTE-spectrum emission context (host-static: compiled in
+    # only when the model has such sources)
+    emit_kw = {}
+    if st.has_map:
+        emit_kw['geometry'] = geometry
+    if st.has_lte:
+        emit_kw['lte_ctx'] = (dt, jnu_var_id, jnu_var_frac,
+                              se_rho if se_rho is not None
+                              else jnp.zeros_like(density))
 
     def refill(carry):
         """Re-emit packets into dead lanes while budget remains (replaces
@@ -159,10 +169,11 @@ def make_lucy_step(geometry, dt, st, density, jnu_var_id, jnu_var_frac,
             reemit_ok = pending & ~reabs_kill
             src = jnp.where(reemit_ok, p.reemit_src, src_fresh)
             can = can_fresh | reemit_ok
-            new = emit_packets(st, k_e, p.x.shape[0], dtype, src=src)
+            new = emit_packets(st, k_e, p.x.shape[0], dtype, src=src,
+                               **emit_kw)
         else:
             can = can_fresh
-            new = emit_packets(st, k_e, p.x.shape[0], dtype)
+            new = emit_packets(st, k_e, p.x.shape[0], dtype, **emit_kw)
 
         cell_new = geometry.find_cell(new['x'], new['y'], new['z'],
                                       new['kx'], new['ky'], new['kz'])
@@ -385,6 +396,23 @@ def make_lucy_step(geometry, dt, st, density, jnu_var_id, jnu_var_frac,
             reemit_src = p.reemit_src
             n_reabs = p.n_reabs
 
+        # --- probabilistic geometry self-check (ref grid_propagate_3d.f90:
+        # 110-117 in_correct_cell): with probability check_frequency per
+        # step, test the position against the claimed cell's bounds (with
+        # tolerance — NOT a from-scratch relocate, which is ambiguous for
+        # positions exactly on a wall); a disagreement kills the packet and
+        # counts in killed_geo.
+        killed_geo = carry.killed_geo
+        check_freq = float(config.get('check_frequency', 0.0))
+        if check_freq > 0.0:
+            u_chk = jax.random.uniform(k_check, p.x.shape, dtype=dtype)
+            do_check = alive & moving & (cell != ESCAPED) & \
+                (u_chk < check_freq)
+            ok = geometry.in_cell_tol(jnp.where(cell >= 0, cell, 0), x, y, z)
+            bad = do_check & ~ok
+            alive = alive & ~bad
+            killed_geo = killed_geo + jnp.sum(bad.astype(killed_geo.dtype))
+
         packets = PacketState(x=x, y=y, z=z, kx=kx, ky=ky, kz=kz, nu=nu,
                               energy=p.energy, cell=cell, tau=tau,
                               n_inter=n_inter, n_mrw=n_mrw, n_reabs=n_reabs,
@@ -395,14 +423,15 @@ def make_lucy_step(geometry, dt, st, density, jnu_var_id, jnu_var_frac,
             energy_current=carry.energy_current, energy_sum=energy_sum,
             n_photons_cell=n_photons_cell,
             killed_int=carry.killed_int + jnp.sum(killed_now.astype(carry.killed_int.dtype)),
-            killed_geo=carry.killed_geo,
+            killed_geo=killed_geo,
             n_steps=carry.n_steps + 1)
 
     return step
 
 
 def lucy_iteration_impl(geometry, dt, st, density, jnu_var_id, jnu_var_frac,
-                        key, n_photons, batch_size, config_tuple, mrw=None):
+                        key, n_photons, batch_size, config_tuple, mrw=None,
+                        se_rho=None):
     """Un-jitted single-device Lucy iteration body (also the per-device
     function under shard_map for multi-chip runs).
 
@@ -442,7 +471,7 @@ def lucy_iteration_impl(geometry, dt, st, density, jnu_var_id, jnu_var_frac,
         n_steps=jnp.asarray(0, dtype=itype))
 
     step = make_lucy_step(geometry, dt, st, density, jnu_var_id, jnu_var_frac,
-                          config, mrw=mrw)
+                          config, mrw=mrw, se_rho=se_rho)
 
     max_steps = config['max_steps']
 

@@ -126,6 +126,21 @@ class CartesianGeometry:
         d3 = jnp.minimum(z - self.zw[i3], self.zw[i3 + 1] - z)
         return jnp.maximum(jnp.minimum(jnp.minimum(d1, d2), d3), 0.0)
 
+    def in_cell_tol(self, cell, x, y, z, tol=0.01):
+        """Is the position inside the cell's bounds within a tol fraction
+        of the cell extent? The geometry self-check oracle (ref
+        in_correct_cell, grid_geometry_cartesian_3d.f90) — bounds-based, not
+        a from-scratch relocate, so exactly-on-wall positions always pass."""
+        i1, i2, i3 = self.decode(cell)
+
+        def ax(w, i, p):
+            lo = w[i]
+            hi = w[i + 1]
+            m = tol * (hi - lo)
+            return (p >= lo - m) & (p <= hi + m)
+
+        return ax(self.xw, i1, x) & ax(self.yw, i2, y) & ax(self.zw, i3, z)
+
     def snap(self, x, y, z, ax, wall_coord, crossed):
         """Place crossed packets exactly on the crossed wall coordinate."""
         x = jnp.where(crossed & (ax == 0), wall_coord, x)

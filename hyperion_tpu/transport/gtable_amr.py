@@ -162,6 +162,14 @@ class AMRGeometry:
         z = jnp.where(crossed & (ax == 2), wall_coord, z)
         return x, y, z
 
+    def in_cell_tol(self, cell, x, y, z, tol=0.01):
+        """Bounds-with-tolerance membership (geometry self-check oracle;
+        ref in_correct_cell, grid_geometry_amr.f90)."""
+        x0, x1, y0, y1, z0, z1, dx = self._cell_bounds(cell)
+        return (x >= x0 - tol * dx[:, 0]) & (x <= x1 + tol * dx[:, 0]) & \
+               (y >= y0 - tol * dx[:, 1]) & (y <= y1 + tol * dx[:, 1]) & \
+               (z >= z0 - tol * dx[:, 2]) & (z <= z1 + tol * dx[:, 2])
+
     def random_position_in_cell(self, cell, key, dtype):
         x0, x1, y0, y1, z0, z1, _ = self._cell_bounds(cell)
         u = jax.random.uniform(key, (3,) + cell.shape, dtype=dtype)

@@ -149,6 +149,30 @@ class CylindricalGeometry:
             d = jnp.minimum(d, jnp.minimum(d_p1, d_p2))
         return jnp.maximum(d, 0.0)
 
+    def in_cell_tol(self, cell, x, y, z, tol=0.01):
+        """Bounds-with-tolerance membership (geometry self-check oracle;
+        ref in_correct_cell, grid_geometry_cylindrical_3d.f90)."""
+        i1, i2, i3 = self.decode(cell)
+        w = jnp.sqrt(x * x + y * y)
+        w_lo = self.ww[i1]
+        w_hi = self.ww[i1 + 1]
+        m_w = tol * (w_hi - w_lo)
+        ok = (w >= w_lo - m_w) & (w <= w_hi + m_w)
+        z_lo = self.zw[i2]
+        z_hi = self.zw[i2 + 1]
+        m_z = tol * (z_hi - z_lo)
+        ok &= (z >= z_lo - m_z) & (z <= z_hi + m_z)
+        if self.n3 > 1:
+            two_pi = 2.0 * jnp.pi
+            phi = jnp.arctan2(y, x) % two_pi
+            p_lo = self.phi_w[i3]
+            width = self.phi_w[i3 + 1] - p_lo
+            m_p = tol * width
+            dphi = (phi - p_lo) % two_pi
+            on_axis = w <= tol * self.ww[1]
+            ok &= on_axis | (dphi <= width + m_p) | (dphi >= two_pi - m_p)
+        return ok
+
     def snap(self, x, y, z, ax, wall_coord, crossed):
         return x, y, z
 

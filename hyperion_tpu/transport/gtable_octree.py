@@ -117,6 +117,15 @@ class OctreeGeometry:
     def snap(self, x, y, z, ax, wall_coord, crossed):
         return x, y, z
 
+    def in_cell_tol(self, cell, x, y, z, tol=0.01):
+        """Bounds-with-tolerance membership (geometry self-check oracle;
+        ref in_correct_cell, grid_geometry_octree.f90)."""
+        c = self.centers[cell]
+        h = self.halves[cell]
+        return (jnp.abs(x - c[:, 0]) <= h[:, 0] * (1.0 + tol)) & \
+               (jnp.abs(y - c[:, 1]) <= h[:, 1] * (1.0 + tol)) & \
+               (jnp.abs(z - c[:, 2]) <= h[:, 2] * (1.0 + tol))
+
     def random_position_in_cell(self, cell, key, dtype):
         u = jax.random.uniform(key, (3,) + cell.shape, dtype=dtype,
                                minval=-1.0, maxval=1.0)

@@ -228,6 +228,34 @@ class SphericalGeometry:
             d = jnp.minimum(d, jnp.minimum(d_p1, d_p2))
         return jnp.maximum(d, 0.0)
 
+    def in_cell_tol(self, cell, x, y, z, tol=0.01):
+        """Bounds-with-tolerance membership (geometry self-check oracle;
+        ref in_correct_cell, grid_geometry_spherical_3d.f90). tol is a
+        fraction of the cell extent in each natural coordinate."""
+        i1, i2, i3 = self.decode(cell)
+        r = jnp.sqrt(x * x + y * y + z * z)
+        r_lo = self.rw[i1]
+        r_hi = self.rw[i1 + 1]
+        m_r = tol * (r_hi - r_lo)
+        ok = (r >= r_lo - m_r) & (r <= r_hi + m_r)
+        # near the origin every angle is degenerate
+        at_origin = r <= tol * self.rw[1]
+        mu = z / jnp.maximum(r, jnp.asarray(1e-300, dtype=x.dtype))
+        mu_hi = self.cos_tw[i2]
+        mu_lo = self.cos_tw[i2 + 1]
+        m_mu = tol * (mu_hi - mu_lo)
+        ok &= at_origin | ((mu >= mu_lo - m_mu) & (mu <= mu_hi + m_mu))
+        if self.n3 > 1:
+            two_pi = 2.0 * jnp.pi
+            phi = jnp.arctan2(y, x) % two_pi
+            p_lo = self.phi_w[i3]
+            width = self.phi_w[i3 + 1] - p_lo
+            m_p = tol * width
+            dphi = (phi - p_lo) % two_pi
+            on_axis = jnp.sqrt(x * x + y * y) <= tol * self.rw[1]
+            ok &= on_axis | (dphi <= width + m_p) | (dphi >= two_pi - m_p)
+        return ok
+
     def snap(self, x, y, z, ax, wall_coord, crossed):
         """No positional snapping for curved walls: the t_eps minimum
         crossing distance + authoritative cell index provide robustness."""

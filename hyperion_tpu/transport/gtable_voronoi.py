@@ -158,6 +158,30 @@ class VoronoiGeometry:
             jnp.minimum(z - self.box_lo[2], self.box_hi[2] - z))
         return jnp.maximum(jnp.minimum(d_nb, d_box), 0.0)
 
+    def in_cell_tol(self, cell, x, y, z, tol=0.01):
+        """Membership oracle: the point must not sit beyond any neighbor's
+        bisector plane by more than tol of the half site separation (the
+        definition of a Voronoi cell, with tolerance)."""
+        si = self.sites[cell]
+        nb = self.neigh[cell]
+        valid = nb >= 0
+        nb_safe = jnp.where(valid, nb, 0)
+        sj = self.sites[nb_safe]
+        nvx = sj[..., 0] - si[:, None, 0]
+        nvy = sj[..., 1] - si[:, None, 1]
+        nvz = sj[..., 2] - si[:, None, 2]
+        mx = 0.5 * (sj[..., 0] + si[:, None, 0])
+        my = 0.5 * (sj[..., 1] + si[:, None, 1])
+        mz = 0.5 * (sj[..., 2] + si[:, None, 2])
+        numer = (mx - x[:, None]) * nvx + (my - y[:, None]) * nvy + \
+                (mz - z[:, None]) * nvz
+        norm = jnp.sqrt(nvx ** 2 + nvy ** 2 + nvz ** 2)
+        # signed distance to each bisector (positive = own side)
+        d = jnp.where(valid, numer / jnp.maximum(norm, 1e-300), jnp.inf)
+        margin = tol * 0.5 * jnp.min(jnp.where(valid, norm, jnp.inf),
+                                     axis=-1)
+        return jnp.min(d, axis=-1) >= -margin
+
     def snap(self, x, y, z, ax, wall_coord, crossed):
         return x, y, z
 

@@ -535,13 +535,17 @@ def eval_phase_peel(dt, dust_id, nu, mu):
 def peel_and_bin(geometry, dt, density, groups, accums, p_x, p_y, p_z,
                  chi_rows, cell, nu, energy, weight_iso, is_scatter, dust_id,
                  k_in_x, k_in_y, k_in_z, prov, active, dtype,
-                 inu_global=None, stokes_in=None):
+                 inu_global=None, stokes_in=None, surface=None):
     """For every group and view: compute peel weight, escape tau, and bin.
 
     weight_iso: weight for isotropic events (1); scattering events use the
     scattering matrix at the angle between the incoming direction and the
     view — the full Stokes 4-vector when the group tracks polarization.
     prov: Provenance of the lanes at this event (drives origin slicing).
+    surface: optional (mask, nx, ny, nz, limb) — lanes emitted from a
+    stellar surface peel with the cosine law 4*mu (or the limb-darkened
+    2*(1.5 mu^2 + mu)) instead of weight_iso
+    (ref emit_from_sphere_peeloff, source_type.f90:692-707).
     inu_global: in monochromatic mode, the exact-frequency index of every
     lane (scalar or (B,)); frequency bins are indices, not log bins.
     stokes_in: (q, u, v) of the photons (None -> unpolarized).
@@ -596,6 +600,13 @@ def peel_and_bin(geometry, dt, density, groups, accums, p_x, p_y, p_z,
                 w_scat = eval_phase_peel(dt, dust_id, nu, mu_req)
                 w = jnp.where(is_scatter, w_scat, weight_iso)
                 w_q = w_u = w_v = None
+
+            if surface is not None:
+                s_mask, snx, sny, snz, limb = surface
+                mu_s = jnp.maximum(snx * vdx + sny * vdy + snz * vdz, 0.0)
+                w_surf = jnp.where(limb, 2.0 * (1.5 * mu_s * mu_s + mu_s),
+                                   4.0 * mu_s)
+                w = jnp.where(s_mask & ~is_scatter, w_surf, w)
 
             if group.ignore_optical_depth:
                 tau = jnp.zeros_like(p_x)
@@ -685,6 +696,7 @@ class FinalPacketState(NamedTuple):
     cell: jnp.ndarray
     tau: jnp.ndarray
     n_inter: jnp.ndarray
+    n_mrw: jnp.ndarray
     n_reabs: jnp.ndarray       # successive source re-absorption count
     reemit_src: jnp.ndarray    # source row to re-emit from (-1 = none)
     alive: jnp.ndarray
@@ -704,7 +716,7 @@ class FinalPacketState(NamedTuple):
 
 
 def make_final_step(geometry, dt, st, density, jnu_var_id, jnu_var_frac,
-                    groups, config, binned=None):
+                    groups, config, binned=None, se_rho=None, mrw=None):
     """While-loop body for the imaging iteration. ``binned`` optionally is
     (group_spec, n_theta, n_phi) for direction-binned images."""
     dtype = density.dtype
@@ -716,6 +728,14 @@ def make_final_step(geometry, dt, st, density, jnu_var_id, jnu_var_frac,
     peeloff_scattering_only = config['peeloff_scattering_only']
     reabs_on = bool(config.get('source_intersect', False))
     n_reabs_max = int(config.get('n_reabs_max', 0))
+
+    emit_kw = {}
+    if st.has_map:
+        emit_kw['geometry'] = geometry
+    if st.has_lte:
+        emit_kw['lte_ctx'] = (dt, jnu_var_id, jnu_var_frac,
+                              se_rho if se_rho is not None
+                              else jnp.zeros_like(density))
 
     def step(carry):
         p = carry['packets']
@@ -789,6 +809,7 @@ def make_final_step(geometry, dt, st, density, jnu_var_id, jnu_var_frac,
             cell=jnp.where(can, cell_new, p.cell),
             tau=m(p.tau, tau_new),
             n_inter=jnp.where(can_fresh, 0, p.n_inter),
+            n_mrw=jnp.where(can, 0, p.n_mrw),
             n_reabs=(jnp.where(can_fresh, 0,
                                jnp.where(reemit_ok, p.n_reabs + 1, p.n_reabs))
                      if reabs_on else p.n_reabs),
@@ -826,16 +847,79 @@ def make_final_step(geometry, dt, st, density, jnu_var_id, jnu_var_frac,
                 packets.nu, jnp.where(peel_emit, energy_peel, 0.0),
                 jnp.ones_like(packets.x), jnp.zeros_like(emitted),
                 jnp.zeros_like(packets.cell), packets.kx, packets.ky,
-                packets.kz, prov_emit, peel_emit, dtype)
+                packets.kz, prov_emit, peel_emit, dtype,
+                surface=(new['surf'], new['snx'], new['sny'], new['snz'],
+                         new['limb']))
 
         p = packets
         budget = carry['budget'] - n_new
         energy_current = carry['energy_current'] + jnp.sum(
             jnp.where(can_fresh, new['energy'], 0.0)).astype(dtype)
 
-        # ---- propagation substep (no energy deposit) ------------------------
-        active = p.alive
         cell_safe = jnp.where(p.cell >= 0, p.cell, 0)
+
+        # ---- MRW-noenergy (ref iter_final.f90:167-184 + grid_do_mrw_noenergy,
+        # grid_mrw_3d.f90:113-150): jump to the closest-wall sphere, resample
+        # nu from b_nu, depolarize, peel isotropically ----------------------
+        if mrw is not None:
+            k_m1, k_m2, k_m3, k_m4 = jax.random.split(
+                jax.random.fold_in(key, 23), 4)
+            d_close = geometry.closest_wall_distance(cell_safe, p.x, p.y, p.z)
+            tau_close = mrw.alpha_inv_planck[cell_safe] * d_close
+            mrw_now = p.alive & (p.n_inter >= 1) & (tau_close > mrw.gamma)
+            jx, jy, jz = isotropic_direction(k_m1, p.x.shape, dtype)
+            nkx_m, nky_m, nkz_m = isotropic_direction(k_m2, p.x.shape, dtype)
+            rho_rows_m = density[:, cell_safe].T
+            d_sel_m = select_dust(k_m3, p.chi, rho_rows_m)
+            nu_m = sample_emission_nu(dt, d_sel_m,
+                                      jnu_var_id[d_sel_m, cell_safe],
+                                      jnu_var_frac[d_sel_m, cell_safe],
+                                      k_m4, use_bnu=True)
+            chi_m, kappa_m, alb_m = update_optical_constants(dt, nu_m)
+            n_mrw_new = p.n_mrw + mrw_now.astype(jnp.int32)
+            killed_mrw = mrw_now & (n_mrw_new > config['n_mrw_max'])
+            p = p._replace(
+                x=jnp.where(mrw_now, p.x + d_close * jx, p.x),
+                y=jnp.where(mrw_now, p.y + d_close * jy, p.y),
+                z=jnp.where(mrw_now, p.z + d_close * jz, p.z),
+                kx=jnp.where(mrw_now, nkx_m, p.kx),
+                ky=jnp.where(mrw_now, nky_m, p.ky),
+                kz=jnp.where(mrw_now, nkz_m, p.kz),
+                nu=jnp.where(mrw_now, nu_m, p.nu),
+                chi=jnp.where(mrw_now[:, None], chi_m, p.chi),
+                kappa=jnp.where(mrw_now[:, None], kappa_m, p.kappa),
+                albedo=jnp.where(mrw_now[:, None], alb_m, p.albedo),
+                q=jnp.where(mrw_now, 0.0, p.q),
+                u=jnp.where(mrw_now, 0.0, p.u),
+                v=jnp.where(mrw_now, 0.0, p.v),
+                dust_id=jnp.where(mrw_now, d_sel_m.astype(jnp.int32),
+                                  p.dust_id),
+                reprocessed=p.reprocessed | mrw_now,
+                n_mrw=n_mrw_new,
+                alive=p.alive & ~killed_mrw)
+            killed_int = killed_int + jnp.sum(
+                killed_mrw.astype(killed_int.dtype))
+            # peel at the MRW event: isotropic b_nu re-emission
+            # (ref mrw_peeloff is direction-only -> weight 1)
+            if not peeloff_scattering_only:
+                prov_mrw = Provenance(
+                    scattered=jnp.zeros_like(mrw_now),
+                    reprocessed=jnp.ones_like(mrw_now),
+                    source_id=p.source_id, dust_id=p.dust_id,
+                    n_scat=p.n_scat)
+                peel_mrw = mrw_now & p.alive
+                accums = peel_and_bin(
+                    geometry, dt, density, groups, accums,
+                    p.x, p.y, p.z, p.chi, p.cell, p.nu,
+                    jnp.where(peel_mrw, p.energy, 0.0),
+                    jnp.ones_like(p.x), jnp.zeros_like(mrw_now),
+                    d_sel_m, p.kx, p.ky, p.kz, prov_mrw, peel_mrw, dtype)
+            mrw_skip = mrw_now
+        else:
+            mrw_skip = jnp.zeros_like(p.alive)
+
+        # ---- propagation substep (no energy deposit) ------------------------
+        active = p.alive & ~mrw_skip
         t_wall, next_cell, ax, wall_coord = geometry.find_wall(
             cell_safe, p.x, p.y, p.z, p.kx, p.ky, p.kz)
         rho_rows = density[:, cell_safe].T
@@ -966,7 +1050,8 @@ def make_final_step(geometry, dt, st, density, jnu_var_id, jnu_var_frac,
 
         packets = FinalPacketState(
             x=x, y=y, z=z, kx=kx, ky=ky, kz=kz, nu=nu, energy=p.energy,
-            cell=cell, tau=tau, n_inter=n_inter, n_reabs=n_reabs,
+            cell=cell, tau=tau, n_inter=n_inter,
+            n_mrw=jnp.where(interacting, 0, p.n_mrw), n_reabs=n_reabs,
             reemit_src=reemit_src, alive=alive,
             reprocessed=reprocessed, scattered=scattered_flag,
             source_id=p.source_id, dust_id=dust_id_now, n_scat=n_scat_now,
@@ -985,7 +1070,8 @@ def make_final_step(geometry, dt, st, density, jnu_var_id, jnu_var_frac,
 
 def final_iteration_impl(geometry, dt, st, density, jnu_var_id, jnu_var_frac,
                          groups, key, n_photons, batch_size, config_tuple,
-                         binned_group=None, binned_dims=None):
+                         binned_group=None, binned_dims=None, se_rho=None,
+                         mrw=None):
     """Un-jitted imaging-iteration body (also the per-device function under
     shard_map for multi-chip runs; ref mp_collect_images,
     src/mpi/mpi_routines.f90:363-471 for the reduction that follows)."""
@@ -1002,6 +1088,7 @@ def final_iteration_impl(geometry, dt, st, density, jnu_var_id, jnu_var_frac,
         nu=jnp.ones((B,), dtype=dtype), energy=zeros(B),
         cell=jnp.zeros((B,), dtype=jnp.int32),
         tau=zeros(B), n_inter=jnp.zeros((B,), dtype=jnp.int32),
+        n_mrw=jnp.zeros((B,), dtype=jnp.int32),
         n_reabs=jnp.zeros((B,), dtype=jnp.int32),
         reemit_src=jnp.full((B,), -1, dtype=jnp.int32),
         alive=jnp.zeros((B,), dtype=bool),
@@ -1029,7 +1116,8 @@ def final_iteration_impl(geometry, dt, st, density, jnu_var_id, jnu_var_frac,
                  n_steps=jnp.asarray(0, dtype=itype))
 
     step = make_final_step(geometry, dt, st, density, jnu_var_id,
-                           jnu_var_frac, groups, config, binned=binned)
+                           jnu_var_frac, groups, config, binned=binned,
+                           se_rho=se_rho, mrw=mrw)
     max_steps = config['max_steps']
 
     reabs_on = bool(config.get('source_intersect', False))
@@ -1061,7 +1149,8 @@ def run_final(geometry, dt, st, density, specific_energy, groups, key,
               forced_first_interaction=True, peeloff_scattering_only=False,
               n_reabs_max=0, max_steps=100000000,
               binned_group=None, binned_dims=None,
-              ffi_algorithm='wr99', ffi_baes16_xi=0.5, mesh=None):
+              ffi_algorithm='wr99', ffi_baes16_xi=0.5, mesh=None,
+              use_mrw=False, mrw_gamma=1.0, n_mrw_max=1000):
     """Run the imaging iteration; returns (accums, energy_current, stats).
     With ``mesh`` the photon batch is data-parallel over the devices and the
     image cubes come back psum-reduced (parallel/mesh.py)."""
@@ -1081,19 +1170,30 @@ def run_final(geometry, dt, st, density, specific_energy, groups, key,
                     ('ffi_baes16_xi', float(ffi_baes16_xi)),
                     ('n_reabs_max', int(n_reabs_max)),
                     ('source_intersect', bool(st.any_intersect)),
+                    ('n_mrw_max', int(n_mrw_max)),
                     ('max_steps', int(max_steps)))
+    mrw_tables = None
+    if use_mrw:
+        from .mrw import prepare_mrw_tables
+        mrw_tables = prepare_mrw_tables(
+            dt, density, jnp_.asarray(specific_energy, dtype=density.dtype),
+            mrw_gamma, density.dtype)
+    se_rho = (jnp_.asarray(specific_energy, dtype=density.dtype) * density
+              if st.has_lte else None)
     if mesh is not None:
         from ..parallel.mesh import run_final_sharded
         accums, binned_acc, energy_current, killed_int, n_steps = \
             run_final_sharded(
                 mesh, geometry, dt, st, density, jnu_var_id, jnu_var_frac,
                 list(groups), key, n_photons, batch_size, config_tuple,
-                binned_group=binned_group, binned_dims=binned_dims)
+                binned_group=binned_group, binned_dims=binned_dims,
+                se_rho=se_rho, mrw=mrw_tables)
     else:
         accums, binned_acc, energy_current, killed_int, n_steps = \
             _run_final_jit(
                 geometry, dt, st, density, jnu_var_id, jnu_var_frac,
                 list(groups), key, n_photons, batch_size, config_tuple,
-                binned_group=binned_group, binned_dims=binned_dims)
+                binned_group=binned_group, binned_dims=binned_dims,
+                se_rho=se_rho, mrw=mrw_tables)
     return accums, binned_acc, float(energy_current), \
         dict(killed_int=int(killed_int), n_steps=int(n_steps))

@@ -171,6 +171,7 @@ def run_lucy(geometry, dt, st, density, key, n_photons, n_iterations,
              convergence_percentile=100.0, initial_specific_energy=None,
              use_mrw=False, mrw_gamma=1.0, n_mrw_max=1000,
              use_pda=False, pda_tables=None, mesh=None,
+             check_frequency=0.0,
              verbose=True, iteration_callback=None):
     """Run the Lucy loop: n_iterations (or until converged).
 
@@ -197,6 +198,7 @@ def run_lucy(geometry, dt, st, density, key, n_photons, n_iterations,
                     # compile the re-absorption path only when a source
                     # can actually intersect photon paths
                     ('source_intersect', bool(st.any_intersect)),
+                    ('check_frequency', float(check_frequency)),
                     ('max_steps', int(max_steps)))
 
     se_prev = None
@@ -209,6 +211,9 @@ def run_lucy(geometry, dt, st, density, key, n_photons, n_iterations,
     for it in range(1, n_iterations + 1):
         key, k_it = jax.random.split(key)
         jnu_var_id, jnu_var_frac = compute_jnu_var(dt, specific_energy)
+        # LTE-spectrum sources pick their dust ∝ specific_energy*rho at the
+        # emission cell (ref select_dust_specific_energy_rho)
+        se_rho = specific_energy * density if st.has_lte else None
         mrw_tables = None
         if use_mrw:
             from .mrw import prepare_mrw_tables
@@ -220,13 +225,13 @@ def run_lucy(geometry, dt, st, density, key, n_photons, n_iterations,
                 killed_geo, n_steps = run_lucy_iteration_sharded(
                     mesh, geometry, dt, st, density, jnu_var_id,
                     jnu_var_frac, k_it, n_photons, batch_size, config_tuple,
-                    mrw=mrw_tables)
+                    mrw=mrw_tables, se_rho=se_rho)
         else:
             energy_sum, energy_current, n_photons_cell, killed_int, \
                 killed_geo, n_steps = run_lucy_iteration(
                     geometry, dt, st, density, jnu_var_id, jnu_var_frac,
                     k_it, n_photons, batch_size, config_tuple,
-                    mrw=mrw_tables)
+                    mrw=mrw_tables, se_rho=se_rho)
 
         # Host-side float64 for the combined scale; the engine works in
         # lengths of geometry.length_scale so ds carries one factor of L and

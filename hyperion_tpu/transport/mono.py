@@ -234,9 +234,10 @@ def _make_mono_step(geometry, dt, st, density, groups, config, mode,
                     jnp.searchsorted(st.lum_cdf, u, side='left'),
                     0, st.n_sources - 1).astype(jnp.int32)
                 src = jnp.where(reemit_ok, p.reemit_src, src_fresh)
-                new = emit_packets(st, k_e, B, dtype, src=src)
+                new = emit_packets(st, k_e, B, dtype, src=src,
+                                   geometry=geometry)
             else:
-                new = emit_packets(st, k_e, B, dtype)
+                new = emit_packets(st, k_e, B, dtype, geometry=geometry)
             can = can_fresh | reemit_ok
             nx, ny, nz = new['x'], new['y'], new['z']
             nkx, nky, nkz = new['kx'], new['ky'], new['kz']
@@ -271,7 +272,8 @@ def _make_mono_step(geometry, dt, st, density, groups, config, mode,
                 # dust-emitted photons re-absorbed by a source re-emit
                 # FROM that source (surface position + outward direction)
                 new = emit_packets(st, k_e, B, dtype,
-                                   src=jnp.maximum(p.reemit_src, 0))
+                                   src=jnp.maximum(p.reemit_src, 0),
+                                   geometry=geometry)
                 nx = jnp.where(reemit_ok, new['x'], nx)
                 ny = jnp.where(reemit_ok, new['y'], ny)
                 nz = jnp.where(reemit_ok, new['z'], nz)

@@ -215,7 +215,7 @@ def raytrace_source_batch_impl(geometry, dt, st, rt, groups, density, key,
     from .stable import emit_packets
     B = batch_size
     dtype = density.dtype
-    new = emit_packets(st, key, B, dtype)
+    new = emit_packets(st, key, B, dtype, geometry=geometry)
     lane = jnp.arange(B)
     active = lane < n_active
     cell = geometry.find_cell(new['x'], new['y'], new['z'],
@@ -241,7 +241,14 @@ def raytrace_source_batch_impl(geometry, dt, st, rt, groups, density, key,
                                      active)
             # attenuation: exp(-sum_d col_d * chi_d(nu))
             tau_nu = jnp.einsum('bd,dn->bn', col, rt.chi_nu)
-            flux = spec * jnp.exp(-tau_nu)
+            # stellar-surface cosine-law peel weight (4*mu, or the
+            # limb-darkened variant; ref emit_from_sphere_peeloff)
+            mu_s = jnp.maximum(new['snx'] * vd[0] + new['sny'] * vd[1] +
+                               new['snz'] * vd[2], 0.0)
+            w_surf = jnp.where(new['limb'],
+                               2.0 * (1.5 * mu_s * mu_s + mu_s), 4.0 * mu_s)
+            w = jnp.where(new['surf'], w_surf, 1.0)
+            flux = spec * jnp.exp(-tau_nu) * w[:, None]
             flux = jnp.where(active[:, None], flux, 0.0)
             sed, img = _bin_vector(group, sed, img, iv, new['x'], new['y'],
                                    new['z'], flux, 0)

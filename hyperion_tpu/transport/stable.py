@@ -23,9 +23,11 @@ import jax.numpy as jnp
 from ..util.functions import B_nu, planck_nu_range
 from .sampling import sample_cdf_rows2, isotropic_direction
 
-# Source type codes (mirroring ref source%type 1..8)
+# Source type codes (mirroring ref source%type 1..8; spots — ref type 3 —
+# are expanded into SPHERE rows with a cap constraint, see build below)
 POINT = 1
 SPHERE = 2
+MAP = 4
 EXTERN_SPH = 5
 EXTERN_BOX = 6
 PLANE_PARALLEL = 7
@@ -51,6 +53,21 @@ class SourceTables(NamedTuple):
     # Sources photons can be re-absorbed by (spherical sources,
     # ref source_type.f90:96,148 intersect flag)
     intersect: jnp.ndarray      # (n_emit,) bool
+    # Spots (ref type 3, source_type.f90:150-190): SPHERE rows emitting from
+    # the spherical cap around cap_dir with cos(size) = cap_cos; plain
+    # spheres have cap_cos = -1 (whole surface).
+    cap_dir: jnp.ndarray        # (n_emit, 3)
+    cap_cos: jnp.ndarray        # (n_emit,)
+    # Luminosity maps (ref type 4 / grid_sample_pdf_map): map_row points
+    # into map_cdf (per-cell cumulative), -1 for non-map rows.
+    map_row: jnp.ndarray        # (n_emit,) int32
+    map_cdf: jnp.ndarray        # (n_map, n_cells) — (0, 1) if none
+    # LTE local-emissivity spectrum (ref freq_type 3, source_type.f90:468):
+    # frequency sampled at emit time from the dust emissivity at the cell.
+    # Shape (n_emit,) when any row is LTE, (0,) otherwise — the presence
+    # flags below are derived from SHAPES, not values, so they stay static
+    # when SourceTables flows through jit/shard_map as an argument.
+    lte: jnp.ndarray            # (n_emit,) bool or (0,)
 
     @property
     def n_sources(self):
@@ -61,6 +78,14 @@ class SourceTables(NamedTuple):
         import numpy as _np
         return bool(_np.asarray(self.intersect).any())
 
+    @property
+    def has_map(self):
+        return self.map_cdf.shape[0] > 0
+
+    @property
+    def has_lte(self):
+        return self.lte.shape[0] > 0
+
 
 def _spectrum_cdf(source, n_grid):
     """Host-side (nu, cdf) for one source's emission spectrum.
@@ -70,15 +95,17 @@ def _spectrum_cdf(source, n_grid):
     column read in source_read).
     """
     from ..util.integrate import integrate_loglog
-    if source.spectrum is not None:
+    if getattr(source, 'spectrum', None) is not None:
         nu = np.asarray(source.spectrum['nu'], float)
         fnu = np.asarray(source.spectrum['fnu'], float)
-    elif source.temperature is not None:
+    elif getattr(source, 'temperature', None) is not None:
         nu = planck_nu_range(source.temperature)
         fnu = B_nu(nu, source.temperature)
     else:
-        raise ValueError("LTE-spectrum sources are not yet supported by the "
-                         "transport engine")
+        # LTE local-emissivity spectrum: sampled on device at emit time
+        # (ref freq_type 3); placeholder CDF, flagged via the lte column
+        nu = np.geomspace(1e8, 1e17, n_grid)
+        return nu, np.linspace(0.0, 1.0, n_grid)
     # piecewise power-law cumulative (same quadrature as the dust tables)
     from .dtable import _cdf_loglog
     cdf = _cdf_loglog(nu, fnu[None, :])[0]
@@ -93,22 +120,46 @@ def _spectrum_cdf(source, n_grid):
     return nu, cdf
 
 
+def _flatten_map(grid, arr):
+    """Flatten a grid-shaped luminosity map to (n_cells,) in the engine's
+    flat-index convention (matching run._flatten_quantity)."""
+    try:
+        from ..grid import AMRGrid
+    except ImportError:
+        AMRGrid = ()
+    if AMRGrid and isinstance(grid, AMRGrid) and isinstance(arr, list):
+        parts = []
+        i = 0
+        for level in grid.levels:
+            for g in level.grids:
+                parts.append(np.asarray(arr[i], float).reshape(-1))
+                i += 1
+        return np.concatenate(parts)
+    return np.asarray(arr, float).reshape(-1)
+
+
 def build_source_tables(sources, dtype=jnp.float32, n_spec=400,
-                        length_scale=1.0, sample_evenly=False):
+                        length_scale=1.0, sample_evenly=False, grid=None):
     """Build SourceTables from a list of Source objects.
 
     PointSourceCollection is expanded into one emission row per point (the
     reference treats the collection as one source with an internal position
-    PDF; expanding rows gives the same sampling distribution). With
-    ``sample_evenly`` every *top-level* source gets equal pick probability
-    and packets carry energy L_source*n_sources/L_tot instead of 1
-    (ref source.f90:118-121,162).
+    PDF; expanding rows gives the same sampling distribution). Spots are
+    expanded the same way: a spotted sphere becomes one whole-surface row at
+    the photospheric luminosity plus one cap row per spot (ref spot_pdf,
+    source_type.f90:159-190). With ``sample_evenly`` every *top-level* source
+    gets equal pick probability and packets carry energy L_source*n_sources/
+    L_tot instead of 1 (ref source.f90:118-121,162).
+
+    ``grid`` is required when any source is a MapSource (the per-cell
+    luminosity map is flattened in the engine's cell-index convention).
     """
     from ..sources import (PointSource, PointSourceCollection, SphericalSource,
                            ExternalSphericalSource, ExternalBoxSource,
                            PlaneParallelSource, MapSource)
 
     rows = []
+    maps = []
     for i_top, s in enumerate(sources):
         s._check_all_set()
         if isinstance(s, PointSourceCollection):
@@ -121,11 +172,17 @@ def build_source_tables(sources, dtype=jnp.float32, n_spec=400,
                                  luminosity=float(s.luminosity[i]),
                                  nu=nu, cdf=cdf, group=i_top))
             continue
+        lte = s.has_lte_spectrum()
+        spot_rows = []
+        if lte and not isinstance(s, MapSource):
+            # the reference only permits LTE spectra for diffuse sources
+            # (source_type.f90:130,146: point/sphere "cannot have LTE")
+            raise ValueError("LTE spectra are only supported for MapSource")
         nu, cdf = _spectrum_cdf(s, n_spec)
         row = dict(code=POINT, position=(0.0, 0.0, 0.0), radius=0.0,
                    limb=False, direction=(0.0, 0.0, 1.0),
                    bounds=np.zeros((3, 2)), luminosity=float(s.luminosity),
-                   nu=nu, cdf=cdf, group=i_top)
+                   nu=nu, cdf=cdf, group=i_top, lte=bool(lte))
         if isinstance(s, PointSource):
             row['code'] = POINT
             row['position'] = s.position
@@ -134,9 +191,25 @@ def build_source_tables(sources, dtype=jnp.float32, n_spec=400,
             row['position'] = s.position
             row['radius'] = float(s.radius)
             row['limb'] = bool(s.limb)
-            if s.spots:
-                raise NotImplementedError("Spots not yet supported by the "
-                                          "transport engine")
+            for spot in s.spots:
+                # cap row: emits from the spherical section around
+                # (longitude, latitude) with angular radius in degrees
+                # (ref source_type.f90:176-178)
+                spot._check_all_set()
+                lon = np.radians(float(spot.longitude))
+                lat = np.radians(float(spot.latitude))
+                cap_dir = (np.cos(lat) * np.cos(lon),
+                           np.cos(lat) * np.sin(lon), np.sin(lat))
+                s_nu, s_cdf = _spectrum_cdf(spot, n_spec)
+                spot_rows.append(dict(
+                    code=SPHERE, position=s.position, radius=float(s.radius),
+                    limb=bool(s.limb), direction=(0.0, 0.0, 1.0),
+                    bounds=np.zeros((3, 2)),
+                    luminosity=float(spot.luminosity),
+                    nu=s_nu, cdf=s_cdf, group=i_top,
+                    cap_dir=cap_dir,
+                    cap_cos=float(np.cos(np.radians(float(spot.radius)))),
+                    intersect=False))
         elif isinstance(s, ExternalSphericalSource):
             row['code'] = EXTERN_SPH
             row['position'] = s.position
@@ -153,13 +226,23 @@ def build_source_tables(sources, dtype=jnp.float32, n_spec=400,
             row['direction'] = (np.sin(theta) * np.cos(phi),
                                 np.sin(theta) * np.sin(phi), np.cos(theta))
         elif isinstance(s, MapSource):
-            raise NotImplementedError("MapSource not yet supported by the "
-                                      "transport engine")
+            if grid is None:
+                raise ValueError("build_source_tables needs the model grid "
+                                 "to flatten a MapSource luminosity map")
+            row['code'] = MAP
+            flat_map = np.maximum(_flatten_map(grid, s.map), 0.0)
+            total = flat_map.sum()
+            if total <= 0:
+                raise ValueError("MapSource map has no positive values")
+            mcdf = np.cumsum(flat_map) / total
+            mcdf[-1] = 1.0
+            row['map_row'] = len(maps)
+            maps.append(mcdf)
         else:
             raise NotImplementedError("Unsupported source type: %s" % type(s))
         rows.append(row)
+        rows.extend(spot_rows)
 
-    n = len(rows)
     L = float(length_scale)
     for r in rows:
         r['position'] = np.asarray(r['position'], float) / L
@@ -182,6 +265,11 @@ def build_source_tables(sources, dtype=jnp.float32, n_spec=400,
     codes = np.array([r['code'] for r in rows], np.int32)
     radii = np.array([r['radius'] for r in rows], float)
     f = lambda a: jnp.asarray(np.asarray(a, float), dtype=dtype)
+    intersect = np.array([r.get('intersect', True) for r in rows], bool)
+    map_cdf = np.stack(maps) if maps else np.zeros((0, 1))
+    lte_col = np.array([r.get('lte', False) for r in rows], bool)
+    if not lte_col.any():
+        lte_col = np.zeros((0,), bool)
     return SourceTables(
         type_code=jnp.asarray(codes),
         position=f([r['position'] for r in rows]),
@@ -194,18 +282,28 @@ def build_source_tables(sources, dtype=jnp.float32, n_spec=400,
         spec_nu=f([r['nu'] for r in rows]),
         spec_cdf=f([r['cdf'] for r in rows]),
         energy_total=f(lum.sum()),
-        intersect=jnp.asarray((codes == SPHERE) & (radii > 0.0)),
+        intersect=jnp.asarray((codes == SPHERE) & (radii > 0.0) & intersect),
+        cap_dir=f([r.get('cap_dir', (0.0, 0.0, 1.0)) for r in rows]),
+        cap_cos=f([r.get('cap_cos', -1.0) for r in rows]),
+        map_row=jnp.asarray(np.array([r.get('map_row', -1) for r in rows],
+                                     np.int32)),
+        map_cdf=f(map_cdf),
+        lte=jnp.asarray(lte_col),
     )
 
 
-def emit_packets(st, key, n, dtype, src=None):
+def emit_packets(st, key, n, dtype, src=None, geometry=None, lte_ctx=None):
     """Sample n fresh packets: returns dict of arrays (position, direction,
     nu, source id). Energies are 1 (normalized at iteration end, ref
     iter_lucy.f90:219 update_energy_abs(energy_total/energy_current)).
 
     With ``src`` given ((n,) int32 rows), emit from those sources instead of
     sampling the luminosity CDF — the re-emission path for photons
-    re-absorbed by a source (ref emit(reemit=...), source.f90:134-141)."""
+    re-absorbed by a source (ref emit(reemit=...), source.f90:134-141).
+
+    ``geometry`` is required when the tables contain MapSource rows (cell
+    position sampling); ``lte_ctx = (dt, jnu_var_id, jnu_var_frac, se_rho)``
+    when any row has an LTE local-emissivity spectrum (ref freq_type 3)."""
     k_src, k_nu, k_dir, k_pos, k_pos2 = jax.random.split(key, 5)
 
     if src is None:
@@ -221,13 +319,68 @@ def emit_packets(st, key, n, dtype, src=None):
     # --- position ---
     pos = st.position[src]
     x, y, z = pos[:, 0], pos[:, 1], pos[:, 2]
-    # sphere surface point (also used for extern_sph, emitting inward)
-    sx, sy, sz = isotropic_direction(k_pos, (n,), dtype)
+    # sphere surface point, constrained to the cap around cap_dir for spot
+    # rows (plain spheres and extern_sph have cap_cos=-1 -> whole surface;
+    # ref emit_from_sphere's rejection loop, source_type.f90:630-639)
+    from .sampling import rotate_direction
+    k_cap1, k_cap2 = jax.random.split(k_pos)
+    u_cap = jax.random.uniform(k_cap1, (n,), dtype=dtype)
+    cap_cos = st.cap_cos[src]
+    cosc = 1.0 - u_cap * (1.0 - cap_cos)
+    phi_cap = jax.random.uniform(k_cap2, (n,), dtype=dtype,
+                                 maxval=2 * jnp.pi)
+    cd = st.cap_dir[src]
+    sx, sy, sz = rotate_direction(cd[:, 0], cd[:, 1], cd[:, 2], cosc, phi_cap)
     on_sphere = (code == SPHERE) | (code == EXTERN_SPH)
     r = st.radius[src]
     x = jnp.where(on_sphere, x + r * sx, x)
     y = jnp.where(on_sphere, y + r * sy, y)
     z = jnp.where(on_sphere, z + r * sz, z)
+
+    # --- map sources: sample a cell from the per-cell luminosity CDF, then
+    # a uniform position inside it (ref emit_from_map, source_type.f90:713)
+    map_cell = jnp.zeros((n,), dtype=jnp.int32)
+    if st.has_map:
+        if geometry is None:
+            raise ValueError("emit_packets needs geometry for MapSource rows")
+        from .raytrace import sample_position_in_cell
+        u_map = jax.random.uniform(jax.random.fold_in(k_pos2, 11), (n,),
+                                   dtype=dtype)
+        n_map = st.map_cdf.shape[0]
+        mrow = st.map_row[src]
+        for i in range(n_map):
+            idx_i = jnp.searchsorted(st.map_cdf[i], u_map,
+                                     side='left').astype(jnp.int32)
+            map_cell = jnp.where(mrow == i, idx_i, map_cell)
+        map_cell = jnp.clip(map_cell, 0, st.map_cdf.shape[1] - 1)
+        mx, my, mz = sample_position_in_cell(
+            geometry, map_cell, jax.random.fold_in(k_pos2, 12), dtype)
+        in_map = code == MAP
+        x = jnp.where(in_map, mx, x)
+        y = jnp.where(in_map, my, y)
+        z = jnp.where(in_map, mz, z)
+
+    # --- LTE local-emissivity frequency: dust picked ∝ specific_energy*rho
+    # at the emission cell, nu from its emissivity CDF (ref
+    # select_dust_specific_energy_rho + dust_sample_j_nu,
+    # source_type.f90:468-471, grid_physics_3d.f90:101-109)
+    if st.has_lte:
+        if lte_ctx is None:
+            raise ValueError("emit_packets needs lte_ctx for LTE rows")
+        dt, jnu_var_id, jnu_var_frac, se_rho = lte_ctx
+        from .engine import sample_emission_nu
+        k_l1, k_l2 = jax.random.split(jax.random.fold_in(k_nu, 13))
+        w = se_rho[:, map_cell].T  # (n, n_dust)
+        tot = jnp.sum(w, axis=-1)
+        # fallback: uniform dust pick where SE*rho is all zero (iteration 1)
+        w = jnp.where(tot[:, None] > 0.0, w, jnp.ones_like(w))
+        csum = jnp.cumsum(w, axis=-1)
+        u_d = jax.random.uniform(k_l1, (n,), dtype=dtype) * csum[:, -1]
+        d_sel = jnp.clip(jnp.sum((csum < u_d[:, None]).astype(jnp.int32),
+                                 axis=-1), 0, w.shape[-1] - 1)
+        nu_lte = sample_emission_nu(dt, d_sel, jnu_var_id[d_sel, map_cell],
+                                    jnu_var_frac[d_sel, map_cell], k_l2)
+        nu = jnp.where(st.lte[src], nu_lte, nu)
     # extern_box: uniform in box
     ub = jax.random.uniform(k_pos2, (n, 3), dtype=dtype)
     bounds = st.bounds[src]
@@ -281,8 +434,14 @@ def emit_packets(st, key, n, dtype, src=None):
     ky = jnp.where(pp, d[:, 1], ky)
     kz = jnp.where(pp, d[:, 2], kz)
 
+    # surface-emission context for cosine-law peeloff weights
+    # (ref emit_from_sphere_peeloff, source_type.f90:692-707): outward
+    # normal for spheres, inward for external illumination spheres
+    flip = jnp.where(emits_in, -1.0, 1.0)
     return dict(x=x, y=y, z=z, kx=kx, ky=ky, kz=kz, nu=nu, source=src,
-                energy=st.energy_weight[src])
+                energy=st.energy_weight[src],
+                surf=on_sphere, snx=sx * flip, sny=sy * flip, snz=sz * flip,
+                limb=st.limb[src])
 
 
 def nearest_source_intersection(st, x, y, z, kx, ky, kz):

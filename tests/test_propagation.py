@@ -27,9 +27,11 @@ def run_at(geo, position, n_photons=20000):
                              length_scale=geo.length_scale)
     density = jnp.full((1, geo.n_cells), 0.5 * geo.length_scale,
                        dtype=jnp.float64)
+    # check_frequency > 0 makes the killed_geo == 0 assertions falsifiable:
+    # the engine re-locates ~10% of steps from scratch and kills on mismatch
     res = run_lucy(geo, dt, st, density, jax.random.PRNGKey(0),
                    n_photons=n_photons, n_iterations=1, batch_size=4096,
-                   verbose=False)
+                   check_frequency=0.1, verbose=False)
     return res
 
 
@@ -112,6 +114,6 @@ def test_f32_robustness_spherical():
                        dtype=jnp.float32)
     res = run_lucy(geo, dt, st, density, jax.random.PRNGKey(1),
                    n_photons=50000, n_iterations=1, batch_size=4096,
-                   verbose=False)
+                   check_frequency=0.1, verbose=False)
     assert res.killed_geo == 0
-    assert res.killed_int <= 5  # < 0.01%
+    assert res.killed_int == 0  # the reference's gate: zero killed, even f32
