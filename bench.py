@@ -1,12 +1,22 @@
-"""Throughput benchmark: photon packets/sec/chip on the quickstart config.
+"""Throughput benchmark: photon packets/sec/chip on BASELINE workloads.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", "workloads"}.
 
-The reference publishes no absolute numbers (BASELINE.md); its figure of
-merit is the runtime photons/sec counter (ref src/main/performance.f90).
-``vs_baseline`` is measured against a nominal 1e5 photons/s single-CPU-core
-figure for the reference Fortran engine on a comparable scattering model —
-update when a measured reference number is available.
+Two workloads (BASELINE.md configs 1 and 2):
+
+* ``quickstart`` — point source in a uniform optically-thin scattering box
+  (cartesian); measures raw engine throughput with short trajectories.
+* ``yso_thick``  — flared-disk YSO on a spherical-polar grid with midplane
+  optical depth >= 1e3, MRW enabled (ref: grid_mrw_3d.f90); measures the
+  regime where lockstep-batch divergence and diffusion acceleration matter.
+
+The headline metric is the *thick* workload (the hard one); the full
+per-workload numbers ride along in the same JSON line. The reference
+publishes no absolute numbers (BASELINE.md); its figure of merit is the
+runtime photons/sec counter (ref src/main/performance.f90). ``vs_baseline``
+divides by a nominal 1e5 photons/s single-CPU-core figure for the reference
+Fortran engine on a comparable model — update when a measured reference
+number is available.
 """
 
 import argparse
@@ -20,18 +30,7 @@ import numpy as np
 BASELINE_PHOTONS_PER_SEC = 1.0e5
 
 
-def main():
-    parser = argparse.ArgumentParser()
-    parser.add_argument('--smoke', action='store_true',
-                        help='quick CPU run for verification')
-    parser.add_argument('--photons', type=int, default=None)
-    parser.add_argument('--batch', type=int, default=None)
-    args = parser.parse_args()
-
-    if args.smoke:
-        import jax
-        jax.config.update('jax_platforms', 'cpu')
-
+def bench_quickstart(args):
     import jax
     import jax.numpy as jnp
     from hyperion_tpu.dust import IsotropicDust
@@ -47,7 +46,6 @@ def main():
     n_photons = args.photons or (100_000 if args.smoke else 2_000_000)
     batch = args.batch or (8192 if args.smoke else 131072)
 
-    # Quickstart-like config: point source in a uniform scattering box
     nu = np.logspace(5, 18, 24)
     dust = IsotropicDust(nu, np.repeat(0.3, 24), np.repeat(1.0, 24))
     n = 15
@@ -62,28 +60,130 @@ def main():
     config = (('n_inter_max', 1000000), ('kill_on_scatter', False),
               ('kill_on_absorb', False), ('max_steps', 100000000))
 
-    # Warm up (compile)
     out = run_lucy_iteration(geometry, dt, st, density, jid, jfrac,
                              jax.random.PRNGKey(0), n_photons // 10, batch,
                              config)
     jax.block_until_ready(out)
 
     t0 = time.time()
-    out = run_lucy_iteration(geometry, dt, st, density, jid, jfrac,
-                             jax.random.PRNGKey(int(os.environ.get('BENCH_SEED', 1))), n_photons, batch, config)
+    out = run_lucy_iteration(
+        geometry, dt, st, density, jid, jfrac,
+        jax.random.PRNGKey(int(os.environ.get('BENCH_SEED', 1))),
+        n_photons, batch, config)
     jax.block_until_ready(out)
     wall = time.time() - t0
+    print("# quickstart: E=%g steps=%d wall=%.4fs" %
+          (float(out[1]), int(out[5]), wall), file=sys.stderr)
+    return dict(name='quickstart', photons=n_photons, wall_s=round(wall, 4),
+                photons_per_sec=round(n_photons / wall, 1),
+                n_loop_steps=int(out[5]))
 
-    # sanity: the run must actually have emitted the full budget
-    print("# diag: E=%g steps=%d wall=%.4fs" % (float(out[1]), int(out[5]),
-                                                wall), file=sys.stderr)
 
-    rate = n_photons / wall
+def bench_yso_thick(args):
+    """Flared-disk YSO, spherical-polar grid, tau_mid >= 1e3, MRW on.
+
+    2 Lucy iterations through the full run_lucy driver (the second one has a
+    warm temperature field, so MRW diffusion coefficients are realistic);
+    timing covers the second iteration only (compile + cold tables excluded,
+    matching how the reference's photons/s counter reports steady state).
+    """
+    import jax
+    import jax.numpy as jnp
+    from hyperion_tpu.dust import IsotropicDust
+    from hyperion_tpu.grid import SphericalPolarGrid
+    from hyperion_tpu.sources import SphericalSource
+    from hyperion_tpu.densities import FlaredDisk
+    from hyperion_tpu.transport import build_dust_tables, build_source_tables
+    from hyperion_tpu.transport.gtable_spherical import build_spherical_geometry
+    from hyperion_tpu.transport.lucy import run_lucy
+    from hyperion_tpu.util.constants import au, msun, rsun, lsun, sigma, pi
+
+    dtype = jnp.float32
+    n_photons = args.photons or (20_000 if args.smoke else 500_000)
+    batch = args.batch or (4096 if args.smoke else 65536)
+
+    rmin, rmax = 0.1 * au, 300.0 * au
+    nr, nt = (24, 16) if args.smoke else (96, 48)
+    rw = np.hstack([0.0, np.logspace(np.log10(rmin), np.log10(rmax), nr)])
+    tw = np.linspace(0.0, np.pi, nt + 1)
+    pw = np.array([0.0, 2.0 * np.pi])
+    grid = SphericalPolarGrid(rw, tw, pw)
+
+    # gray dust, kappa ~ 800 cm^2/g dust with albedo 0.5
+    nu = np.logspace(9, 17, 32)
+    dust = IsotropicDust(nu, np.repeat(0.5, 32), np.repeat(800.0, 32))
+
+    disk = FlaredDisk(mass=2e-5 * msun, rmin=rmin, rmax=rmax,
+                      r_0=10.0 * au, h_0=1.0 * au, p=-1.0, beta=1.25)
+    rho = np.asarray(disk.density(grid), float).reshape(-1)
+    tau_mid = float(disk.midplane_cumulative_density(np.array([rmax]))[0]
+                    * 800.0)
+    print("# yso_thick: tau_mid(visual-equivalent) = %.3g" % tau_mid,
+          file=sys.stderr)
+
+    geometry = build_spherical_geometry(grid, dtype=dtype)
+    dt = build_dust_tables([dust], dtype=dtype)
+    star = SphericalSource(luminosity=lsun, radius=2.0 * rsun,
+                           temperature=4000.0)
+    st = build_source_tables([star], dtype=dtype,
+                             length_scale=geometry.length_scale)
+    density = jnp.asarray(rho[None, :] * geometry.length_scale, dtype=dtype)
+
+    per_iter_walls = []
+
+    def cb(it, se, rho_now, npc):
+        per_iter_walls.append(time.time())
+
+    t_start = time.time()
+    per_iter_walls.append(t_start)
+    result = run_lucy(geometry, dt, st, density,
+                      jax.random.PRNGKey(int(os.environ.get('BENCH_SEED', 1))),
+                      n_photons, 2, batch_size=batch,
+                      use_mrw=True, mrw_gamma=1.0, n_mrw_max=100000,
+                      n_reabs_max=100,
+                      verbose=False, iteration_callback=cb)
+    wall_last = per_iter_walls[-1] - per_iter_walls[-2]
+    print("# yso_thick: steps=%d killed=%d/%d wall_iter2=%.3fs" %
+          (result.n_steps, result.killed_int, result.killed_geo, wall_last),
+          file=sys.stderr)
+    return dict(name='yso_thick', photons=n_photons,
+                tau_mid=round(tau_mid, 1),
+                wall_s=round(wall_last, 4),
+                photons_per_sec=round(n_photons / wall_last, 1),
+                killed=int(result.killed_int + result.killed_geo),
+                n_loop_steps=int(result.n_steps))
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument('--smoke', action='store_true',
+                        help='quick CPU run for verification')
+    parser.add_argument('--workload', default='all',
+                        choices=['all', 'quickstart', 'yso_thick'])
+    parser.add_argument('--photons', type=int, default=None)
+    parser.add_argument('--batch', type=int, default=None)
+    args = parser.parse_args()
+
+    if args.smoke:
+        import jax
+        jax.config.update('jax_platforms', 'cpu')
+
+    workloads = []
+    if args.workload in ('all', 'quickstart'):
+        workloads.append(bench_quickstart(args))
+    if args.workload in ('all', 'yso_thick'):
+        workloads.append(bench_yso_thick(args))
+
+    head = workloads[-1]
+    rate = head['photons_per_sec']
     print(json.dumps({
-        "metric": "photon_packets_per_sec_per_chip",
-        "value": round(rate, 1),
+        "metric": "photon_packets_per_sec_per_chip_thick_disk_mrw"
+                  if head['name'] == 'yso_thick'
+                  else "photon_packets_per_sec_per_chip",
+        "value": rate,
         "unit": "photons/s",
         "vs_baseline": round(rate / BASELINE_PHOTONS_PER_SEC, 3),
+        "workloads": workloads,
     }))
     return 0
 

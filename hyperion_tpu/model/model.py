@@ -429,6 +429,133 @@ class Model(FreezableClass, RunConf):
         f.close()
         return self
 
+    # -- reuse of previous runs (ref model.py:174-361) -------------------------
+
+    @staticmethod
+    def _previous_run_group(f):
+        """Root group of a model description inside ``f``: the file itself
+        for .rtin files, /Input for .rtout files."""
+        if 'Grid' in f:
+            return f
+        if 'Input' in f:
+            # resolve through the external-link workaround: access via the
+            # link's own file handle so h5py follows it transparently
+            g = f['Input']
+            return g.file[g.name] if g.file != f.file else g
+        raise Exception("No model found in file")
+
+    def use_geometry(self, filename):
+        """Adopt the grid geometry (walls only, no quantities) from a
+        previous input or output file (ref model.py:174-225)."""
+        import h5py
+        from ..grid import OctreeGrid, AMRGrid, VoronoiGrid
+
+        classes = {'car': CartesianGrid, 'cyl_pol': CylindricalPolarGrid,
+                   'sph_pol': SphericalPolarGrid, 'oct': OctreeGrid,
+                   'amr': AMRGrid, 'vor': VoronoiGrid}
+        with h5py.File(filename, 'r') as f:
+            g_grid = self._previous_run_group(f)['Grid']
+            grid_type = g_grid['Geometry'].attrs['grid_type'].decode('utf-8')
+            if grid_type not in classes:
+                raise NotImplementedError("Cannot read geometry type %s"
+                                          % grid_type)
+            grid = classes[grid_type]()
+            grid.read(g_grid, quantities=[])
+        self.set_grid(grid)
+
+    def use_quantities(self, filename, quantities=None,
+                       use_minimum_specific_energy=True, use_dust=True,
+                       copy=True, only_initial=False):
+        """Load physical quantities from a previous run (ref model.py:226-360).
+
+        By default reads density + specific_energy from the LAST Lucy
+        iteration of an output file (so a new run continues from the
+        converged state); ``only_initial`` restricts to the embedded input.
+        ``copy=False`` stores h5py.ExternalLinks instead of arrays.
+        """
+        import h5py
+        from .helpers import find_last_iteration
+
+        if self.grid is None:
+            raise Exception("Call use_geometry() or set a grid before "
+                            "use_quantities()")
+        if quantities is None:
+            quantities = ['density', 'specific_energy']
+
+        f = h5py.File(filename, 'r')
+        try:
+            is_output = 'Input' in f or 'Grid' not in f
+            base = self._previous_run_group(f)
+            q_base = base['Grid/Quantities']
+
+            last = None
+            if is_output and not only_initial:
+                n_last = find_last_iteration(f)
+                if n_last > 0:
+                    last = f['iteration_%05i' % n_last]
+
+            paths = {}
+            for q in quantities:
+                if last is not None and q in last:
+                    paths[q] = last
+                elif q in q_base:
+                    paths[q] = q_base
+            for q, grp in paths.items():
+                if copy:
+                    self.grid.read_quantities(grp, quantities=[q])
+                else:
+                    self.grid[q] = h5py.ExternalLink(
+                        os.path.abspath(filename), grp[q].name)
+
+            if use_minimum_specific_energy and \
+                    'minimum_specific_energy' in q_base.attrs:
+                self.set_minimum_specific_energy(
+                    [float(x) for x in
+                     q_base.attrs['minimum_specific_energy']])
+
+            if use_dust and 'Dust' in base:
+                self.dust = [SphericalDust(base['Dust'][name])
+                             for name in sorted(base['Dust'])]
+        finally:
+            f.close()
+
+    def use_sources(self, filename):
+        """Adopt the source list from a previous input/output file
+        (ref model.py:361-395)."""
+        import h5py
+        with h5py.File(filename, 'r') as f:
+            base = self._previous_run_group(f)
+            for name in sorted(base['Sources']):
+                self.add_source(read_source(base['Sources'][name]))
+
+    def use_run_conf(self, filename):
+        """Adopt the run configuration (photon counts, flags, convergence)
+        from a previous input/output file (ref model.py:395-410)."""
+        import h5py
+        with h5py.File(filename, 'r') as f:
+            self.read_run_conf(self._previous_run_group(f))
+
+    def use_output_config(self, filename):
+        """Adopt the grid-output configuration from a previous file."""
+        import h5py
+        with h5py.File(filename, 'r') as f:
+            base = self._previous_run_group(f)
+            self.conf.output = OutputConf.read(base['Output'])
+
+    def use_image_config(self, filename):
+        """Adopt peeled/binned image groups from a previous file."""
+        import h5py
+        with h5py.File(filename, 'r') as f:
+            base = self._previous_run_group(f)
+            if 'Peeled' in base['Output']:
+                for name in sorted(base['Output/Peeled']):
+                    peel = PeeledImageConf()
+                    peel.read(base['Output/Peeled'][name])
+                    self.peeled_output.append(peel)
+            if 'Binned' in base['Output'] and len(base['Output/Binned']) > 0:
+                self.binned_output = BinnedImageConf()
+                self.binned_output.read(base['Output/Binned/group_00001'])
+
     # -- run ------------------------------------------------------------------
 
     def run(self, filename=None, logfile=None, mpi=False, n_processes=1,

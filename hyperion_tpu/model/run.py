@@ -189,6 +189,10 @@ def run_model(model, filename, batch_size=None, dtype=None, parallel=False):
             convergence_relative=getattr(model, 'convergence_relative', 1.02),
             convergence_percentile=getattr(model, 'convergence_percentile', 100.0),
             initial_specific_energy=init_se,
+            additional_specific_energy=(
+                init_se if (init_se is not None and
+                            model.specific_energy_type == 'additional')
+                else None),
             use_mrw=model.mrw,
             mrw_gamma=getattr(model, 'mrw_gamma', 1.0),
             n_mrw_max=getattr(model, 'n_inter_mrw_max', 1000),

@@ -169,6 +169,7 @@ def run_lucy(geometry, dt, st, density, key, n_photons, n_iterations,
              check_convergence=False,
              convergence_absolute=0.0, convergence_relative=1.02,
              convergence_percentile=100.0, initial_specific_energy=None,
+             additional_specific_energy=None,
              use_mrw=False, mrw_gamma=1.0, n_mrw_max=1000,
              use_pda=False, pda_tables=None, mesh=None,
              check_frequency=0.0,
@@ -189,6 +190,13 @@ def run_lucy(geometry, dt, st, density, key, n_photons, n_iterations,
         specific_energy = jnp.zeros((n_dust, n_cells), dtype=dtype)
     else:
         specific_energy = jnp.asarray(initial_specific_energy, dtype=dtype)
+    # specific_energy_type='additional': the input field is EXTRA heating
+    # added on top of every iteration's MC estimate (ref
+    # grid_physics_3d.f90:213-240,530-541); it also seeds the first
+    # iteration's emissivities via initial_specific_energy above.
+    if additional_specific_energy is not None:
+        additional_specific_energy = jnp.asarray(additional_specific_energy,
+                                                 dtype=dtype)
 
     config_tuple = (('n_inter_max', int(n_inter_max)),
                     ('kill_on_scatter', bool(kill_on_scatter)),
@@ -240,6 +248,8 @@ def run_lucy(geometry, dt, st, density, key, n_photons, n_iterations,
             / geometry.length_scale ** 2
         specific_energy = normalize_specific_energy(
             energy_sum, jnp.asarray(scale, dtype=dtype), geometry.volumes)
+        if additional_specific_energy is not None:
+            specific_energy = specific_energy + additional_specific_energy
         specific_energy = enforce_energy_limits(
             dt, specific_energy, minimum_specific_energy,
             enforce_energy_range)
