@@ -52,6 +52,9 @@ class LucyCarry(NamedTuple):
     budget: jnp.ndarray        # photons still to emit (int64-ish)
     energy_current: jnp.ndarray
     energy_sum: jnp.ndarray    # (n_dust, n_cells) path-length deposits
+    # (n_dust, n_bins, n_cells) nu-resolved deposits, (n_dust, 0, n_cells)
+    # when the spectrum is not requested (ref grid_physics_3d.f90:41-56)
+    energy_sum_spec: jnp.ndarray
     n_photons_cell: jnp.ndarray  # (n_cells,) entry counts (diagnostic)
     killed_int: jnp.ndarray
     killed_geo: jnp.ndarray
@@ -264,7 +267,13 @@ def make_lucy_step(geometry, dt, st, density, jnu_var_id, jnu_var_frac,
             chi_m, kappa_m, alb_m = update_optical_constants(dt, nu_m)
             n_mrw_new = p.n_mrw + mrw_now.astype(jnp.int32)
             killed_mrw = mrw_now & (n_mrw_new > config['n_mrw_max'])
+            # the jump sphere touches the nearest wall: relocate with the
+            # fresh direction so tangent-point landings pick the right side
+            cell_rm = geometry.find_cell(x_m, y_m, z_m, nkx, nky, nkz)
+            cell_m = jnp.where(mrw_now & (cell_rm != ESCAPED), cell_rm,
+                               p.cell)
             p = p._replace(
+                cell=cell_m,
                 x=jnp.where(mrw_now, x_m, p.x),
                 y=jnp.where(mrw_now, y_m, p.y),
                 z=jnp.where(mrw_now, z_m, p.z),
@@ -368,6 +377,16 @@ def make_lucy_step(geometry, dt, st, density, jnu_var_id, jnu_var_frac,
         chi = jnp.where(absorbed[:, None], chi_n, p.chi)
         kappa = jnp.where(absorbed[:, None], kappa_n, p.kappa)
         albedo = jnp.where(absorbed[:, None], alb_n, p.albedo)
+
+        # Direction-aware relocation after the direction changed: a packet
+        # whose tau ran out exactly ON a wall it just crossed now points in
+        # a new direction that may select the other side of that wall. The
+        # reference tracks this with photon%on_wall + adjust_wall
+        # (grid_geometry_*:adjust_wall); here the direction-aware find_cell
+        # IS the on-wall disambiguation, so one relocation per interaction
+        # restores the invariant cell == cell_containing(x, direction).
+        cell_re = geometry.find_cell(x, y, z, kx, ky, kz)
+        cell = jnp.where(interacting & (cell_re != ESCAPED), cell_re, cell)
 
         # new optical depth for lanes that interacted
         tau = jnp.where(interacting, random_exp(k_tau, tau.shape, dtype), tau)

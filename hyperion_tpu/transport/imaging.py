@@ -1023,6 +1023,12 @@ def make_final_step(geometry, dt, st, density, jnu_var_id, jnu_var_frac,
         tau = jnp.where(interacting, random_exp(k_tau2, tau.shape, dtype), tau)
         n_inter = p.n_inter + interacting.astype(jnp.int32)
 
+        # direction-aware relocation after the direction changed (a packet
+        # interacting exactly ON a wall may now point into the other cell;
+        # ref adjust_wall — see engine.py for the full rationale)
+        cell_re = geometry.find_cell(x, y, z, kx, ky, kz)
+        cell = jnp.where(interacting & (cell_re != ESCAPED), cell_re, cell)
+
         killed_now = interacting & (n_inter > config['n_inter_max'])
         kill_flag = (config['kill_on_scatter'] & scattered_now) | \
                     (config['kill_on_absorb'] & absorbed)
