@@ -440,6 +440,7 @@ def make_lucy_step(geometry, dt, st, density, jnu_var_id, jnu_var_frac,
         return LucyCarry(
             packets=packets, key=key, budget=carry.budget,
             energy_current=carry.energy_current, energy_sum=energy_sum,
+            energy_sum_spec=carry.energy_sum_spec,
             n_photons_cell=n_photons_cell,
             killed_int=carry.killed_int + jnp.sum(killed_now.astype(carry.killed_int.dtype)),
             killed_geo=killed_geo,
@@ -484,6 +485,7 @@ def lucy_iteration_impl(geometry, dt, st, density, jnu_var_id, jnu_var_frac,
         budget=jnp.asarray(n_photons, dtype=itype),
         energy_current=jnp.asarray(0.0, dtype=dtype),
         energy_sum=jnp.zeros((n_dust, n_cells), dtype=dtype),
+        energy_sum_spec=jnp.zeros((n_dust, 0, n_cells), dtype=dtype),
         n_photons_cell=jnp.zeros((n_cells,), dtype=itype),
         killed_int=jnp.asarray(0, dtype=itype),
         killed_geo=jnp.asarray(0, dtype=itype),
