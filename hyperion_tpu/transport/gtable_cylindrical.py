@@ -125,12 +125,13 @@ class CylindricalGeometry:
         which = jnp.argmin(ts, axis=0).astype(jnp.int32)
         t = jnp.min(ts, axis=0)
 
-        j1 = i1 + jnp.where(which == 0, -1, jnp.where(which == 1, 1, 0))
-        j2 = i2 + jnp.where(which == 2, -1, jnp.where(which == 3, 1, 0))
-        j3 = i3 + jnp.where(which == 4, -1, jnp.where(which == 5, 1, 0))
-        j3 = jnp.where(j3 < 0, self.n3 - 1, jnp.where(j3 >= self.n3, 0, j3))
-        inside = (j1 >= 0) & (j1 < self.n1) & (j2 >= 0) & (j2 < self.n2)
-        next_cell = jnp.where(inside, self.encode(j1, j2, j3), ESCAPED)
+        # Direction-nudged relocation at the landing point (see the
+        # spherical module for the rationale): rays that graze the curved
+        # cylinder walls or ride a phi half-plane re-cross within the
+        # on-wall exclusion and would keep a stale index under plain
+        # +/-1 index arithmetic.
+        next_cell = self.find_cell(x + t * kx, y + t * ky, z + t * kz,
+                                   kx, ky, kz)
         bad = t >= big
         t = jnp.where(bad, 0.0, t)
         next_cell = jnp.where(bad, ESCAPED, next_cell)

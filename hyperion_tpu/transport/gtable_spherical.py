@@ -185,14 +185,17 @@ class SphericalGeometry:
         which = jnp.argmin(ts, axis=0).astype(jnp.int32)
         t = jnp.min(ts, axis=0)
 
-        j1 = i1 + jnp.where(which == 0, -1, jnp.where(which == 1, 1, 0))
-        j2 = i2 + jnp.where(which == 2, -1, jnp.where(which == 3, 1, 0))
-        j3 = i3 + jnp.where(which == 4, -1, jnp.where(which == 5, 1, 0))
-        # phi wraps (ref next_cell, :549-555)
-        j3 = jnp.where(j3 < 0, self.n3 - 1, jnp.where(j3 >= self.n3, 0, j3))
-        j2 = jnp.clip(j2, 0, self.n2 - 1)
-        inside = (j1 >= 0) & (j1 < self.n1)
-        next_cell = jnp.where(inside, self.encode(j1, j2, j3), ESCAPED)
+        # Next cell by direction-nudged relocation at the landing point
+        # rather than index arithmetic: a ray that grazes a curved wall
+        # (crossing + re-crossing within the on-wall exclusion eps) would
+        # otherwise keep a stale index — the re-crossing root is swallowed
+        # by the t > eps cut and the claimed cell drifts away from the
+        # position (the reference prevents this with photon%on_wall
+        # bookkeeping + adjust_wall, grid_geometry_spherical_3d.f90).
+        # find_cell's eps nudge jumps over any sub-eps dip, so the landing
+        # side is decided by where the ray actually goes.
+        next_cell = self.find_cell(x + t * kx, y + t * ky, z + t * kz,
+                                   kx, ky, kz)
         # no-wall-found safety: t==big means the traversal failed; report a
         # zero-distance escape so the packet is dropped (counts as killed_geo
         # at the engine level via next_cell == ESCAPED)
