@@ -21,7 +21,7 @@ import jax.numpy as jnp
 
 from .gtable import ESCAPED
 from .sampling import (isotropic_direction, random_exp, rotate_direction,
-                       sample_cdf_rows2, searchsorted_rows, interp_loglog)
+                       sample_quantile_rows, searchsorted_rows, interp_loglog)
 from .mrw import sample_min09
 
 
@@ -75,31 +75,35 @@ def update_optical_constants(dt, nu):
 
 
 def sample_emission_nu(dt, dust_id, var_id, var_frac, key, use_bnu=False):
-    """Sample a re-emission frequency from the emissivity CDFs, interpolating
-    in log nu between the two bracketing specific-energy bins with a shared
-    uniform draw (ref: dust_sample_j_nu, dust_type_4elem.f90:380-420)."""
-    n_var = dt.n_var
-    xi = jax.random.uniform(key, dust_id.shape, dtype=dt.emiss_nu.dtype)
-    cdf = dt.bnu_cdf if use_bnu else dt.jnu_cdf
-    rows1 = dust_id * n_var + var_id
-    rows2 = dust_id * n_var + jnp.minimum(var_id + 1, n_var - 1)
-    nu1 = sample_cdf_rows2(dt.emiss_nu, cdf, rows1, xi, log_interp=True,
-                           rows_x=dust_id)
-    nu2 = sample_cdf_rows2(dt.emiss_nu, cdf, rows2, xi, log_interp=True,
-                           rows_x=dust_id)
-    return nu1 * (nu2 / nu1) ** var_frac
+    """Sample a re-emission frequency from the emissivity tables.
+
+    The bracketing specific-energy bin is chosen by a Bernoulli draw on
+    var_frac (the reference picks PDF var_id or var_id+1 the same way,
+    dust_type_4elem.f90 dust_emit/dust_sample_j_nu), then the frequency
+    comes from one O(1) quantile-table inversion — two gathers instead of a
+    per-lane binary search, which XLA would serialize inside the transport
+    loop on TPU."""
+    k_bin, k_xi = jax.random.split(key)
+    shape = dust_id.shape
+    dtype = dt.jnu_q.dtype
+    u_bin = jax.random.uniform(k_bin, shape, dtype=dtype)
+    v = var_id + (u_bin < var_frac).astype(var_id.dtype)
+    rows = dust_id * dt.n_var + jnp.minimum(v, dt.n_var - 1)
+    xi = jax.random.uniform(k_xi, shape, dtype=dtype)
+    q = dt.bnu_q if use_bnu else dt.jnu_q
+    return sample_quantile_rows(q, rows, xi, exp2=True)
 
 
 def sample_scattering_mu(dt, dust_id, nu, key):
     """Sample cos(scattering angle) from the P1 CDF at the lane's frequency
     bin (ref: dust_scatter, dust_type_4elem.f90:504-545 — nearest nu bin,
-    matching the reference's behaviour)."""
+    matching the reference's behaviour); O(1) quantile-table inversion."""
     n_nu = dt.nu.shape[1]
     inu = searchsorted_rows(dt.nu, dust_id, nu) - 1
     inu = jnp.clip(inu, 0, n_nu - 1)
     rows = dust_id * n_nu + inu
     xi = jax.random.uniform(key, dust_id.shape, dtype=nu.dtype)
-    return sample_cdf_rows2(dt.mu, dt.P1_cdf, rows, xi, rows_x=dust_id)
+    return sample_quantile_rows(dt.mu_q, rows, xi)
 
 
 def select_dust(key, chi, density_rows):

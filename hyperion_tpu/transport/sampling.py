@@ -8,6 +8,8 @@ per-photon ``sample_pdf`` CDF walks (ref: fortranlib type_pdf) with a
 batched, fixed-trip-count loop that XLA maps onto the VPU.
 """
 
+import numpy as np
+
 import jax
 import jax.numpy as jnp
 
@@ -89,6 +91,58 @@ def sample_cdf_rows2(x_rows, cdf_rows, rows, xi, log_interp=False, rows_x=None):
     if log_interp:
         return x0 * (x1 / x0) ** frac
     return x0 + frac * (x1 - x0)
+
+
+def sample_quantile_rows(qtab, rows, xi, exp2=False):
+    """O(1) per-row CDF inversion from a cosine-warped quantile table
+    (n_rows, K) where qtab[r, k] = x at CDF = (1 - cos(pi k/(K-1)))/2.
+
+    One arccos locates the bracket — no binary search. This matters inside
+    the fused transport loop on TPU: XLA serializes random-access gathers
+    (~10 ns/lane each), so the searchsorted path costs log2(n)+2 dependent
+    gathers per lane while this costs 2. The cosine warp clusters knots at
+    both CDF ends (first/last bin carry ~(pi/2K)^2 of the mass instead of
+    1/K), which keeps heavy log-frequency tails faithful. With ``exp2`` the
+    table holds log2(x) and interpolation is log-linear via a single exp2.
+    """
+    K = qtab.shape[1]
+    t = jnp.arccos(jnp.clip(1.0 - 2.0 * xi, -1.0, 1.0)) * (1.0 / jnp.pi)
+    pos = t * (K - 1)
+    j = jnp.clip(pos.astype(jnp.int32), 0, K - 2)
+    frac = pos - j.astype(xi.dtype)
+    flat = qtab.reshape(-1)
+    base = rows.astype(jnp.int32) * K
+    q0 = flat[base + j]
+    q1 = flat[base + j + 1]
+    v = q0 + frac * (q1 - q0)
+    return jnp.exp2(v) if exp2 else v
+
+
+def quantile_grid(n_quantiles):
+    """The cosine-warped CDF knot positions used by the quantile tables."""
+    return 0.5 * (1.0 - np.cos(np.pi * np.linspace(0.0, 1.0, n_quantiles)))
+
+
+def quantile_table(x, cdf_rows, n_quantiles, log2=False):
+    """Host-side inverse-CDF resampling: returns (n_rows, n_quantiles) with
+    row r holding x (or log2 x) at the cosine-warped CDF knots of
+    :func:`quantile_grid` evaluated on cdf_rows[r].
+
+    ``cdf_rows`` must be non-decreasing per row with cdf[:, -1] == 1."""
+    x = np.asarray(x, float)
+    cdf_rows = np.asarray(cdf_rows, float)
+    if x.ndim == 1:
+        x = np.broadcast_to(x, cdf_rows.shape)
+    u = quantile_grid(n_quantiles)
+    xs = np.log2(np.maximum(x, 1e-300)) if log2 else x
+    out = np.empty((cdf_rows.shape[0], n_quantiles))
+    for r in range(cdf_rows.shape[0]):
+        c = cdf_rows[r]
+        # break exact ties so np.interp picks a deterministic side in
+        # zero-probability (flat-CDF) regions
+        c = np.maximum.accumulate(c + np.arange(len(c)) * 1e-15)
+        out[r] = np.interp(u, c, xs[r])
+    return out
 
 
 def sample_cdf(x_grid, cdf, xi, log_interp=False):

@@ -21,7 +21,7 @@ import jax
 import jax.numpy as jnp
 
 from ..util.functions import B_nu, planck_nu_range
-from .sampling import sample_cdf_rows2, isotropic_direction
+from .sampling import sample_quantile_rows, isotropic_direction
 
 # Source type codes (mirroring ref source%type 1..8; spots — ref type 3 —
 # are expanded into SPHERE rows with a cap constraint, see build below)
@@ -47,8 +47,9 @@ class SourceTables(NamedTuple):
     # L_group * n_groups / L_tot when sampling sources evenly
     # (ref source.f90:162: p%energy * luminosity%pdf(id) * n_sources)
     energy_weight: jnp.ndarray  # (n_emit,)
-    spec_nu: jnp.ndarray        # (n_emit, n_snu)
-    spec_cdf: jnp.ndarray       # (n_emit, n_snu)
+    spec_nu: jnp.ndarray        # (n_emit, n_snu) nu at even CDF quantiles
+    spec_cdf: jnp.ndarray       # (n_emit, n_snu) == linspace(0, 1)
+    spec_logq: jnp.ndarray      # (n_emit, n_snu) log2(spec_nu) for O(1) draw
     energy_total: jnp.ndarray   # scalar: sum of luminosities
     # Sources photons can be re-absorbed by (spherical sources,
     # ref source_type.f90:96,148 intersect flag)
@@ -104,20 +105,20 @@ def _spectrum_cdf(source, n_grid):
     else:
         # LTE local-emissivity spectrum: sampled on device at emit time
         # (ref freq_type 3); placeholder CDF, flagged via the lte column
+        from .sampling import quantile_grid
         nu = np.geomspace(1e8, 1e17, n_grid)
-        return nu, np.linspace(0.0, 1.0, n_grid)
+        return nu, quantile_grid(n_grid)
     # piecewise power-law cumulative (same quadrature as the dust tables)
     from .dtable import _cdf_loglog
+    from .sampling import quantile_table, quantile_grid
     cdf = _cdf_loglog(nu, fnu[None, :])[0]
-    # Resample onto a fixed-size grid so all sources stack
-    if len(nu) != n_grid:
-        u = np.linspace(0.0, 1.0, n_grid)
-        # Invert: nu(u) at evenly spaced quantiles keeps sampling exact-ish
-        nu_new = np.interp(u, cdf, nu)
-        nu_new[0], nu_new[-1] = nu[0], nu[-1]
-        nu, cdf = nu_new, u.copy()
-    cdf[-1] = 1.0
-    return nu, cdf
+    # Invert onto the cosine-warped quantile grid (log-nu interpolated) so
+    # all sources stack AND device-side sampling is an O(1) table lookup —
+    # inside the fused transport loop a per-lane binary search costs
+    # log2(n) serialized gathers on TPU.
+    nu_new = 2.0 ** quantile_table(nu, cdf[None, :], n_grid, log2=True)[0]
+    nu_new[0], nu_new[-1] = nu[0], nu[-1]
+    return nu_new, quantile_grid(n_grid)
 
 
 def _flatten_map(grid, arr):
@@ -138,7 +139,7 @@ def _flatten_map(grid, arr):
     return np.asarray(arr, float).reshape(-1)
 
 
-def build_source_tables(sources, dtype=jnp.float32, n_spec=400,
+def build_source_tables(sources, dtype=jnp.float32, n_spec=1024,
                         length_scale=1.0, sample_evenly=False, grid=None):
     """Build SourceTables from a list of Source objects.
 
@@ -281,6 +282,8 @@ def build_source_tables(sources, dtype=jnp.float32, n_spec=400,
         energy_weight=f(energy_weight),
         spec_nu=f([r['nu'] for r in rows]),
         spec_cdf=f([r['cdf'] for r in rows]),
+        spec_logq=f(np.log2(np.maximum(
+            np.asarray([r['nu'] for r in rows], float), 1e-300))),
         energy_total=f(lum.sum()),
         intersect=jnp.asarray((codes == SPHERE) & (radii > 0.0) & intersect),
         cap_dir=f([r.get('cap_dir', (0.0, 0.0, 1.0)) for r in rows]),
@@ -312,9 +315,10 @@ def emit_packets(st, key, n, dtype, src=None, geometry=None, lte_ctx=None):
         src = jnp.clip(src, 0, st.n_sources - 1)
     code = st.type_code[src]
 
-    nu = sample_cdf_rows2(st.spec_nu, st.spec_cdf, src,
-                          jax.random.uniform(k_nu, (n,), dtype=dtype),
-                          log_interp=True)
+    # O(1) spectrum draw: spec_nu rows are quantile grids (cdf == linspace)
+    nu = sample_quantile_rows(st.spec_logq, src,
+                              jax.random.uniform(k_nu, (n,), dtype=dtype),
+                              exp2=True)
 
     # --- position ---
     pos = st.position[src]
