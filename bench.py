@@ -131,7 +131,7 @@ def bench_yso_thick(args):
 
     per_iter_walls = []
 
-    def cb(it, se, rho_now, npc):
+    def cb(it, se, rho_now, npc, se_spec=None):
         per_iter_walls.append(time.time())
 
     t_start = time.time()

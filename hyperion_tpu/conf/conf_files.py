@@ -236,8 +236,12 @@ class RunConf(object):
             group.attrs['n_inter_mrw_max_warn'] = bool2str(self.n_inter_mrw_max_warn)
         if self.specific_energy_spectrum_bins is not None:
             group.attrs['compute_specific_energy_spectrum'] = bool2str(True)
-            group.create_dataset('specific_energy_spectrum_bins',
-                                 data=self.specific_energy_spectrum_bins)
+            # reference rtin schema: structured table with an 'nu' column
+            # (ref conf_files.py _write_specific_energy_spectrum_bins)
+            edges = np.asarray(self.specific_energy_spectrum_bins, float)
+            group.create_dataset(
+                'specific_energy_spectrum_bin_edges',
+                data=np.array(list(zip(edges)), dtype=[('nu', float)]))
         else:
             group.attrs['compute_specific_energy_spectrum'] = bool2str(False)
         group.attrs['check_convergence'] = bool2str(self.check_convergence)
@@ -287,7 +291,11 @@ class RunConf(object):
             self.n_inter_mrw_max = int(group.attrs['n_inter_mrw_max'])
             self.n_inter_mrw_max_warn = \
                 str2bool(group.attrs.get('n_inter_mrw_max_warn', b'yes'))
-        if 'specific_energy_spectrum_bins' in group:
+        if 'specific_energy_spectrum_bin_edges' in group:
+            self.specific_energy_spectrum_bins = \
+                np.array(group['specific_energy_spectrum_bin_edges']['nu'])
+        elif 'specific_energy_spectrum_bins' in group:
+            # older snapshots of this project wrote a plain dataset
             self.specific_energy_spectrum_bins = \
                 np.array(group['specific_energy_spectrum_bins'])
         self.check_convergence = str2bool(group.attrs['check_convergence'])

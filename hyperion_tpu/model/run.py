@@ -166,9 +166,12 @@ def run_model(model, filename, batch_size=None, dtype=None, parallel=False):
 
     iterations = []
 
-    def callback(it, se, rho, n_photons_cell):
-        iterations.append(dict(specific_energy=se.copy(), density=rho.copy(),
-                               n_photons=n_photons_cell.copy()))
+    def callback(it, se, rho, n_photons_cell, se_spectrum=None):
+        iterations.append(dict(
+            specific_energy=se.copy(), density=rho.copy(),
+            n_photons=n_photons_cell.copy(),
+            specific_energy_spectrum=(se_spectrum.copy()
+                                      if se_spectrum is not None else None)))
 
     n_initial = model.n_photons.get('initial', 0)
     result = None
@@ -198,6 +201,7 @@ def run_model(model, filename, batch_size=None, dtype=None, parallel=False):
             n_mrw_max=getattr(model, 'n_inter_mrw_max', 1000),
             use_pda=model.pda, pda_tables=_pda_tables(model),
             check_frequency=getattr(model, '_frequency', 0.0),
+            spectrum_bins=model.specific_energy_spectrum_bins,
             mesh=mesh, verbose=True, iteration_callback=callback)
 
     # ---- write output -------------------------------------------------------
@@ -224,6 +228,16 @@ def run_model(model, filename, batch_size=None, dtype=None, parallel=False):
         if want(oc.output_n_photons):
             _write_grid_dataset(g, 'n_photons', itdata['n_photons'],
                                 model.grid)
+        if itdata.get('specific_energy_spectrum') is not None and \
+                want(oc.output_specific_energy_spectrum):
+            # (n_dust, n_bins, *grid shape) + the bin edges (ref
+            # grid_generic.f90:68-74)
+            _write_grid_dataset(g, 'specific_energy_spectrum',
+                                itdata['specific_energy_spectrum'],
+                                model.grid)
+            g.create_dataset('specific_energy_spectrum_bin_edges',
+                             data=np.asarray(
+                                 model.specific_energy_spectrum_bins, float))
         if result is not None:
             g.attrs['killed_photons_geo'] = result.killed_geo
             g.attrs['killed_photons_int'] = result.killed_int

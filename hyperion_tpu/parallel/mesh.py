@@ -46,13 +46,14 @@ def resolve_mesh(parallel):
 
 @lru_cache(maxsize=None)
 def _lucy_sharded_fn(mesh, batch_size_per_device, config_tuple, has_mrw,
-                     has_se_rho, axis_name):
+                     has_se_rho, has_spec, axis_name):
     from ..transport.engine import lucy_iteration_impl
 
     n_dev = mesh.devices.size
 
     def per_device(geometry, dt, st, density, jnu_var_id, jnu_var_frac, key,
-                   n_photons_arr, mrw_tables, se_rho):
+                   n_photons_arr, mrw_tables, se_rho, spec_bins,
+                   spec_bin_frac):
         idx = jax.lax.axis_index(axis_name)
         key = jax.random.fold_in(key, idx)
         share = n_photons_arr // n_dev + jnp.where(
@@ -61,21 +62,25 @@ def _lucy_sharded_fn(mesh, batch_size_per_device, config_tuple, has_mrw,
                                   jnu_var_frac, key, share,
                                   batch_size_per_device, config_tuple,
                                   mrw=mrw_tables if has_mrw else None,
-                                  se_rho=se_rho if has_se_rho else None)
+                                  se_rho=se_rho if has_se_rho else None,
+                                  spec_bins=spec_bins if has_spec else None,
+                                  spec_bin_frac=spec_bin_frac
+                                  if has_spec and has_mrw else None)
         energy_sum, energy_current, n_photons_cell, killed_int, killed_geo, \
-            n_steps = out
+            n_steps, energy_sum_spec = out
         # The reference's mp_collect_physical_arrays + mp_sync
         energy_sum = jax.lax.psum(energy_sum, axis_name)
+        energy_sum_spec = jax.lax.psum(energy_sum_spec, axis_name)
         energy_current = jax.lax.psum(energy_current, axis_name)
         n_photons_cell = jax.lax.psum(n_photons_cell, axis_name)
         killed_int = jax.lax.psum(killed_int, axis_name)
         killed_geo = jax.lax.psum(killed_geo, axis_name)
         n_steps = jax.lax.pmax(n_steps, axis_name)
         return (energy_sum, energy_current, n_photons_cell, killed_int,
-                killed_geo, n_steps)
+                killed_geo, n_steps, energy_sum_spec)
 
     rep = P()
-    fn = jax.shard_map(per_device, mesh=mesh, in_specs=(rep,) * 10,
+    fn = jax.shard_map(per_device, mesh=mesh, in_specs=(rep,) * 12,
                        out_specs=rep, check_vma=False)
     return jax.jit(fn)
 
@@ -83,7 +88,8 @@ def _lucy_sharded_fn(mesh, batch_size_per_device, config_tuple, has_mrw,
 def run_lucy_iteration_sharded(mesh, geometry, dt, st, density, jnu_var_id,
                                jnu_var_frac, key, n_photons,
                                batch_size_per_device, config_tuple,
-                               mrw=None, se_rho=None, axis_name='dp'):
+                               mrw=None, se_rho=None, spec_bins=None,
+                               spec_bin_frac=None, axis_name='dp'):
     """One Lucy iteration with packets sharded over the mesh.
 
     ``n_photons`` is the total budget; it is split evenly across devices
@@ -91,10 +97,14 @@ def run_lucy_iteration_sharded(mesh, geometry, dt, st, density, jnu_var_id,
     (psum), so results are identical in layout to the single-device path.
     """
     fn = _lucy_sharded_fn(mesh, batch_size_per_device, config_tuple,
-                          mrw is not None, se_rho is not None, axis_name)
+                          mrw is not None, se_rho is not None,
+                          spec_bins is not None, axis_name)
+    one = jnp.zeros((1,))
     return fn(geometry, dt, st, density, jnu_var_id, jnu_var_frac,
               key, jnp.asarray(n_photons), mrw,
-              se_rho if se_rho is not None else jnp.zeros_like(density))
+              se_rho if se_rho is not None else jnp.zeros_like(density),
+              spec_bins if spec_bins is not None else one,
+              spec_bin_frac if spec_bin_frac is not None else one)
 
 
 @lru_cache(maxsize=None)

@@ -118,16 +118,28 @@ def select_dust(key, chi, density_rows):
 
 
 def make_lucy_step(geometry, dt, st, density, jnu_var_id, jnu_var_frac,
-                   config, mrw=None, se_rho=None):
+                   config, mrw=None, se_rho=None, spec_bins=None,
+                   spec_bin_frac=None):
     """Build the while_loop body for one Lucy iteration.
 
     density: (n_dust, n_cells); jnu_var_id/frac: (n_dust, n_cells) emissivity
     locator from the previous iteration's specific energy
     (ref: precompute_jnu_var, grid_physics_3d.f90:613-635).
+
+    ``spec_bins``: optional (n_bins+1,) log2-frequency bin edges — deposits
+    are then additionally binned by the packet frequency into
+    carry.energy_sum_spec (ref: deposit in grid_propagate_3d.f90:155,217,
+    idx = locate(log_nu_bin_edges, log10(p%nu))). ``spec_bin_frac``
+    ((n_dust*n_var, n_bins)) distributes MRW deposits over the bins by the
+    local emissivity (ref: deposit_specific_energy_spectrum,
+    grid_physics_3d.f90:367-415 — the MRW radiation field is Planckian so
+    no frequency sampling is involved).
     """
     n_dust = dt.n_dust
     dtype = density.dtype
     n_cells = density.shape[1]
+    spec_on = spec_bins is not None
+    n_bins = int(spec_bins.shape[0]) - 1 if spec_on else 0
 
     from .stable import emit_packets, nearest_source_intersection
 
@@ -249,13 +261,29 @@ def make_lucy_step(geometry, dt, st, density, jnu_var_id, jnu_var_frac,
             rho_rows_m = density[:, cell_safe].T
             dep_idx_m = jnp.where(mrw_now, cell_safe, n_cells)
             energy_sum_m = carry.energy_sum
+            energy_spec_m = carry.energy_sum_spec
             for d in range(n_dust):
                 dep = jnp.where(mrw_now & (rho_rows_m[:, d] > 0.0),
                                 ct * mrw.kappa_planck[d, cell_safe] * p.energy,
                                 0.0)
                 energy_sum_m = energy_sum_m.at[d, dep_idx_m].add(dep,
                                                                  mode='drop')
-            carry = carry._replace(energy_sum=energy_sum_m)
+                if spec_on and spec_bin_frac is not None:
+                    # distribute over bins by local emissivity, linearly
+                    # interpolated between the two bracketing states
+                    vid = jnu_var_id[d, cell_safe]
+                    vf = jnu_var_frac[d, cell_safe]
+                    row0 = (d * dt.n_var + vid) * n_bins
+                    row1 = (d * dt.n_var +
+                            jnp.minimum(vid + 1, dt.n_var - 1)) * n_bins
+                    fr_flat = spec_bin_frac.reshape(-1)
+                    for b in range(n_bins):
+                        fb = (1.0 - vf) * fr_flat[row0 + b] + \
+                            vf * fr_flat[row1 + b]
+                        energy_spec_m = energy_spec_m.at[
+                            d, b, dep_idx_m].add(dep * fb, mode='drop')
+            carry = carry._replace(energy_sum=energy_sum_m,
+                                   energy_sum_spec=energy_spec_m)
             # jump to the sphere surface with a fresh isotropic direction
             jx, jy, jz = isotropic_direction(k_mrw2, p.x.shape, dtype)
             nkx, nky, nkz = isotropic_direction(k_mrw3, p.x.shape, dtype)
@@ -327,11 +355,23 @@ def make_lucy_step(geometry, dt, st, density, jnu_var_id, jnu_var_frac,
         # --- deposit energy: specific_energy_sum += ds * kappa_d * E
         # (ref: grid_propagate_3d.f90:153-154, 205-206) ---
         energy_sum = carry.energy_sum
+        energy_sum_spec = carry.energy_sum_spec
         dep_idx = jnp.where(moving, cell_safe, n_cells)
+        if spec_on:
+            # frequency bin of the packet (constant within a flight; ref
+            # grid_propagate_3d.f90:71); packets outside the edges don't bin
+            log2nu = jnp.log2(jnp.maximum(p.nu, 1e-30))
+            ibin = jnp.searchsorted(spec_bins, log2nu, side='right') - 1
+            bin_ok = (ibin >= 0) & (ibin < n_bins)
+            ibin_safe = jnp.clip(ibin, 0, n_bins - 1)
         for d in range(n_dust):
             dep = jnp.where(moving & (rho_rows[:, d] > 0.0),
                             d_move * p.kappa[:, d] * p.energy, 0.0)
             energy_sum = energy_sum.at[d, dep_idx].add(dep, mode='drop')
+            if spec_on:
+                energy_sum_spec = energy_sum_spec.at[
+                    d, ibin_safe, jnp.where(bin_ok, dep_idx, n_cells)
+                ].add(dep, mode='drop')
 
         # --- move (masked: MRW-jumped lanes already moved this step) ---
         x = jnp.where(moving, p.x + d_move * p.kx, p.x)
@@ -444,7 +484,7 @@ def make_lucy_step(geometry, dt, st, density, jnu_var_id, jnu_var_frac,
         return LucyCarry(
             packets=packets, key=key, budget=carry.budget,
             energy_current=carry.energy_current, energy_sum=energy_sum,
-            energy_sum_spec=carry.energy_sum_spec,
+            energy_sum_spec=energy_sum_spec,
             n_photons_cell=n_photons_cell,
             killed_int=carry.killed_int + jnp.sum(killed_now.astype(carry.killed_int.dtype)),
             killed_geo=killed_geo,
@@ -455,18 +495,20 @@ def make_lucy_step(geometry, dt, st, density, jnu_var_id, jnu_var_frac,
 
 def lucy_iteration_impl(geometry, dt, st, density, jnu_var_id, jnu_var_frac,
                         key, n_photons, batch_size, config_tuple, mrw=None,
-                        se_rho=None):
+                        se_rho=None, spec_bins=None, spec_bin_frac=None):
     """Un-jitted single-device Lucy iteration body (also the per-device
     function under shard_map for multi-chip runs).
 
     Returns (energy_sum (n_dust, n_cells), energy_current, n_photons_cell,
-    killed_int, killed_geo, n_steps).
+    killed_int, killed_geo, n_steps, energy_sum_spec (n_dust, n_bins,
+    n_cells — n_bins = 0 unless spec_bins is given)).
     """
     config = dict(config_tuple)
     n_dust = dt.n_dust
     n_cells = density.shape[1]
     dtype = density.dtype
     B = batch_size
+    n_bins = int(spec_bins.shape[0]) - 1 if spec_bins is not None else 0
     # Counter dtype: int64 when x64 is enabled (CPU tests), else int32 (TPU).
     itype = jnp.int64 if jax.config.jax_enable_x64 else jnp.int32
 
@@ -489,14 +531,15 @@ def lucy_iteration_impl(geometry, dt, st, density, jnu_var_id, jnu_var_frac,
         budget=jnp.asarray(n_photons, dtype=itype),
         energy_current=jnp.asarray(0.0, dtype=dtype),
         energy_sum=jnp.zeros((n_dust, n_cells), dtype=dtype),
-        energy_sum_spec=jnp.zeros((n_dust, 0, n_cells), dtype=dtype),
+        energy_sum_spec=jnp.zeros((n_dust, n_bins, n_cells), dtype=dtype),
         n_photons_cell=jnp.zeros((n_cells,), dtype=itype),
         killed_int=jnp.asarray(0, dtype=itype),
         killed_geo=jnp.asarray(0, dtype=itype),
         n_steps=jnp.asarray(0, dtype=itype))
 
     step = make_lucy_step(geometry, dt, st, density, jnu_var_id, jnu_var_frac,
-                          config, mrw=mrw, se_rho=se_rho)
+                          config, mrw=mrw, se_rho=se_rho,
+                          spec_bins=spec_bins, spec_bin_frac=spec_bin_frac)
 
     max_steps = config['max_steps']
 
@@ -515,7 +558,8 @@ def lucy_iteration_impl(geometry, dt, st, density, jnu_var_id, jnu_var_frac,
         killed_int = killed_int + jnp.sum(
             (carry.packets.reemit_src >= 0).astype(killed_int.dtype))
     return (carry.energy_sum, carry.energy_current, carry.n_photons_cell,
-            killed_int, carry.killed_geo, carry.n_steps)
+            killed_int, carry.killed_geo, carry.n_steps,
+            carry.energy_sum_spec)
 
 
 run_lucy_iteration = partial(jax.jit,

@@ -149,6 +149,25 @@ def specific_energy_converged(se_prev, se, percentile, absolute, relative,
     return (value < absolute) and (abs(rel_change) < relative), value
 
 
+def spectrum_bin_fractions(dt, edges):
+    """Fraction of the local LTE emissivity within each specific-energy
+    spectrum bin, per (dust, var) state — used to distribute MRW deposits
+    over frequency bins without sampling (ref: j_nu_bin_frac setup for
+    deposit_specific_energy_spectrum, grid_physics_3d.f90:367-415)."""
+    n_dust, n_var = dt.n_dust, dt.n_var
+    cdf = np.asarray(dt.jnu_cdf, float)      # (n_dust*n_var, n_enu)
+    edges = np.asarray(edges, float)
+    out = np.zeros((n_dust * n_var, len(edges) - 1))
+    for d in range(n_dust):
+        enu = np.asarray(dt.emiss_nu[d], float)
+        lg = np.log(np.maximum(enu, 1e-300))
+        for v in range(n_var):
+            row = cdf[d * n_var + v]
+            c_at = np.interp(np.log(edges), lg, row)
+            out[d * n_var + v] = np.maximum(np.diff(c_at), 0.0)
+    return out
+
+
 class LucyResult(NamedTuple):
     specific_energy: np.ndarray     # (n_dust, n_cells)
     temperature: np.ndarray         # (n_dust, n_cells)
@@ -160,6 +179,8 @@ class LucyResult(NamedTuple):
     n_steps: int
     converged: bool
     iterations: int
+    # (n_dust, n_bins, n_cells) when spectrum binning is on, else None
+    specific_energy_spectrum: np.ndarray = None
 
 
 def run_lucy(geometry, dt, st, density, key, n_photons, n_iterations,
@@ -172,7 +193,7 @@ def run_lucy(geometry, dt, st, density, key, n_photons, n_iterations,
              additional_specific_energy=None,
              use_mrw=False, mrw_gamma=1.0, n_mrw_max=1000,
              use_pda=False, pda_tables=None, mesh=None,
-             check_frequency=0.0,
+             check_frequency=0.0, spectrum_bins=None,
              verbose=True, iteration_callback=None):
     """Run the Lucy loop: n_iterations (or until converged).
 
@@ -209,11 +230,24 @@ def run_lucy(geometry, dt, st, density, key, n_photons, n_iterations,
                     ('check_frequency', float(check_frequency)),
                     ('max_steps', int(max_steps)))
 
+    # nu-resolved specific-energy binning (ref grid_physics_3d.f90:41-56,
+    # grid_propagate_3d.f90:71,155,217)
+    spec_bins_dev = None
+    spec_bin_frac_dev = None
+    if spectrum_bins is not None:
+        edges = np.asarray(spectrum_bins, float)
+        spec_bins_dev = jnp.asarray(np.log2(np.maximum(edges, 1e-300)),
+                                    dtype=dtype)
+        if use_mrw:
+            spec_bin_frac_dev = jnp.asarray(
+                spectrum_bin_fractions(dt, edges), dtype=dtype)
+
     se_prev = None
     value_prev = None
     converged = False
     stats = dict(killed_int=0, killed_geo=0, n_steps=0, energy_current=0.0)
     n_photons_cell = np.zeros(n_cells, dtype=np.int64)
+    se_spectrum = None
     it = 0
 
     for it in range(1, n_iterations + 1):
@@ -230,16 +264,19 @@ def run_lucy(geometry, dt, st, density, key, n_photons, n_iterations,
         if mesh is not None:
             from ..parallel.mesh import run_lucy_iteration_sharded
             energy_sum, energy_current, n_photons_cell, killed_int, \
-                killed_geo, n_steps = run_lucy_iteration_sharded(
+                killed_geo, n_steps, energy_sum_spec = \
+                run_lucy_iteration_sharded(
                     mesh, geometry, dt, st, density, jnu_var_id,
                     jnu_var_frac, k_it, n_photons, batch_size, config_tuple,
-                    mrw=mrw_tables, se_rho=se_rho)
+                    mrw=mrw_tables, se_rho=se_rho, spec_bins=spec_bins_dev,
+                    spec_bin_frac=spec_bin_frac_dev)
         else:
             energy_sum, energy_current, n_photons_cell, killed_int, \
-                killed_geo, n_steps = run_lucy_iteration(
+                killed_geo, n_steps, energy_sum_spec = run_lucy_iteration(
                     geometry, dt, st, density, jnu_var_id, jnu_var_frac,
                     k_it, n_photons, batch_size, config_tuple,
-                    mrw=mrw_tables, se_rho=se_rho)
+                    mrw=mrw_tables, se_rho=se_rho, spec_bins=spec_bins_dev,
+                    spec_bin_frac=spec_bin_frac_dev)
 
         # Host-side float64 for the combined scale; the engine works in
         # lengths of geometry.length_scale so ds carries one factor of L and
@@ -248,6 +285,14 @@ def run_lucy(geometry, dt, st, density, key, n_photons, n_iterations,
             / geometry.length_scale ** 2
         specific_energy = normalize_specific_energy(
             energy_sum, jnp.asarray(scale, dtype=dtype), geometry.volumes)
+        if spectrum_bins is not None:
+            # same luminosity/volume normalization per bin (ref
+            # scale_specific_energy_spectrum, grid_physics_3d.f90)
+            nb = energy_sum_spec.shape[1]
+            se_spectrum = np.asarray(normalize_specific_energy(
+                energy_sum_spec.reshape(n_dust * nb, n_cells),
+                jnp.asarray(scale, dtype=dtype),
+                geometry.volumes)).reshape(n_dust, nb, n_cells)
         if additional_specific_energy is not None:
             specific_energy = specific_energy + additional_specific_energy
         specific_energy = enforce_energy_limits(
@@ -281,7 +326,8 @@ def run_lucy(geometry, dt, st, density, key, n_photons, n_iterations,
         if iteration_callback is not None:
             iteration_callback(it, np.asarray(specific_energy),
                                np.asarray(density),
-                               np.asarray(n_photons_cell))
+                               np.asarray(n_photons_cell),
+                               se_spectrum)
 
         if check_convergence and se_prev is not None:
             converged, value_prev = specific_energy_converged(
@@ -306,4 +352,5 @@ def run_lucy(geometry, dt, st, density, key, n_photons, n_iterations,
         n_photons_cell=np.asarray(n_photons_cell),
         energy_current=stats['energy_current'],
         killed_int=stats['killed_int'], killed_geo=stats['killed_geo'],
-        n_steps=stats['n_steps'], converged=converged, iterations=it)
+        n_steps=stats['n_steps'], converged=converged, iterations=it,
+        specific_energy_spectrum=se_spectrum)
