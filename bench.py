@@ -17,6 +17,12 @@ runtime photons/sec counter (ref src/main/performance.f90). ``vs_baseline``
 divides by a nominal 1e5 photons/s single-CPU-core figure for the reference
 Fortran engine on a comparable model — update when a measured reference
 number is available.
+
+Defensive notes for the tunneled-TPU driver environment: the persistent
+compilation cache is enabled (fresh-process compiles over the tunnel cost
+minutes), every workload is individually fenced so one failure still emits
+a JSON line from the survivors, and loop bounds are finite so a wedged
+dispatch cannot run away.
 """
 
 import argparse
@@ -28,6 +34,16 @@ import time
 import numpy as np
 
 BASELINE_PHOTONS_PER_SEC = 1.0e5
+
+
+def _enable_cache():
+    import jax
+    try:
+        jax.config.update('jax_compilation_cache_dir',
+                          os.environ.get('JAX_CACHE_DIR', '/tmp/jax_cache_tpu'))
+        jax.config.update('jax_persistent_cache_min_compile_time_secs', 1.0)
+    except Exception:
+        pass
 
 
 def bench_quickstart(args):
@@ -58,7 +74,7 @@ def bench_quickstart(args):
     density = jnp.full((1, grid.n_cells), 0.2, dtype=dtype)
     jid, jfrac = compute_jnu_var(dt, jnp.zeros_like(density))
     config = (('n_inter_max', 1000000), ('kill_on_scatter', False),
-              ('kill_on_absorb', False), ('max_steps', 100000000))
+              ('kill_on_absorb', False), ('max_steps', 1000000))
 
     out = run_lucy_iteration(geometry, dt, st, density, jid, jfrac,
                              jax.random.PRNGKey(0), n_photons // 10, batch,
@@ -70,10 +86,12 @@ def bench_quickstart(args):
         geometry, dt, st, density, jid, jfrac,
         jax.random.PRNGKey(int(os.environ.get('BENCH_SEED', 1))),
         n_photons, batch, config)
-    jax.block_until_ready(out)
+    # force full materialization (fetch, don't just block) so async
+    # dispatch quirks on experimental backends can't fake the timing
+    dep = float(np.asarray(out[0]).sum())
     wall = time.time() - t0
-    print("# quickstart: E=%g steps=%d wall=%.4fs" %
-          (float(out[1]), int(out[5]), wall), file=sys.stderr)
+    print("# quickstart: E=%g dep=%g steps=%d wall=%.4fs" %
+          (float(out[1]), dep, int(out[5]), wall), file=sys.stderr)
     return dict(name='quickstart', photons=n_photons, wall_s=round(wall, 4),
                 photons_per_sec=round(n_photons / wall, 1),
                 n_loop_steps=int(out[5]))
@@ -96,14 +114,14 @@ def bench_yso_thick(args):
     from hyperion_tpu.transport import build_dust_tables, build_source_tables
     from hyperion_tpu.transport.gtable_spherical import build_spherical_geometry
     from hyperion_tpu.transport.lucy import run_lucy
-    from hyperion_tpu.util.constants import au, msun, rsun, lsun, sigma, pi
+    from hyperion_tpu.util.constants import au, msun, rsun, lsun
 
     dtype = jnp.float32
-    n_photons = args.photons or (20_000 if args.smoke else 500_000)
+    n_photons = args.photons or (20_000 if args.smoke else 200_000)
     batch = args.batch or (4096 if args.smoke else 65536)
 
     rmin, rmax = 0.1 * au, 300.0 * au
-    nr, nt = (24, 16) if args.smoke else (96, 48)
+    nr, nt = (24, 16) if args.smoke else (64, 32)
     rw = np.hstack([0.0, np.logspace(np.log10(rmin), np.log10(rmax), nr)])
     tw = np.linspace(0.0, np.pi, nt + 1)
     pw = np.array([0.0, 2.0 * np.pi])
@@ -140,7 +158,7 @@ def bench_yso_thick(args):
                       jax.random.PRNGKey(int(os.environ.get('BENCH_SEED', 1))),
                       n_photons, 2, batch_size=batch,
                       use_mrw=True, mrw_gamma=1.0, n_mrw_max=100000,
-                      n_reabs_max=100,
+                      n_reabs_max=100, max_steps=100000,
                       verbose=False, iteration_callback=cb)
     wall_last = per_iter_walls[-1] - per_iter_walls[-2]
     print("# yso_thick: steps=%d killed=%d/%d wall_iter2=%.3fs" %
@@ -167,16 +185,32 @@ def main():
     if args.smoke:
         import jax
         jax.config.update('jax_platforms', 'cpu')
+    _enable_cache()
 
     workloads = []
+    failures = []
     if args.workload in ('all', 'quickstart'):
-        workloads.append(bench_quickstart(args))
+        try:
+            workloads.append(bench_quickstart(args))
+        except Exception as exc:  # keep the JSON line alive
+            failures.append('quickstart: %s' % exc)
+            print("# quickstart FAILED: %s" % exc, file=sys.stderr)
     if args.workload in ('all', 'yso_thick'):
-        workloads.append(bench_yso_thick(args))
+        try:
+            workloads.append(bench_yso_thick(args))
+        except Exception as exc:
+            failures.append('yso_thick: %s' % exc)
+            print("# yso_thick FAILED: %s" % exc, file=sys.stderr)
+
+    if not workloads:
+        print(json.dumps({"metric": "photon_packets_per_sec_per_chip",
+                          "value": 0.0, "unit": "photons/s",
+                          "vs_baseline": 0.0, "error": '; '.join(failures)}))
+        return 1
 
     head = workloads[-1]
     rate = head['photons_per_sec']
-    print(json.dumps({
+    out = {
         "metric": "photon_packets_per_sec_per_chip_thick_disk_mrw"
                   if head['name'] == 'yso_thick'
                   else "photon_packets_per_sec_per_chip",
@@ -184,7 +218,10 @@ def main():
         "unit": "photons/s",
         "vs_baseline": round(rate / BASELINE_PHOTONS_PER_SEC, 3),
         "workloads": workloads,
-    }))
+    }
+    if failures:
+        out["error"] = '; '.join(failures)
+    print(json.dumps(out))
     return 0
 
 
