@@ -175,6 +175,21 @@ class AMRGrid(FreezableClass):
                             dtype=physics_dtype)
 
 
+    def to_yt(self, dust_id=0):
+        """Convert to a yt AMR stream dataset (requires yt; ref
+        amr_grid.py:555-567)."""
+        from .yt_compat import amr_grid_to_yt_dataset
+        return amr_grid_to_yt_dataset(self.levels, dust_id=dust_id)
+
+    @classmethod
+    def from_yt(cls, ds, quantity_mapping={}):
+        """Build an AMRGrid from a yt dataset (requires yt; ref
+        amr_grid.py:569-653). quantity_mapping maps hyperion quantity
+        names to yt field identifiers."""
+        from .yt_compat import amr_grid_from_yt
+        return amr_grid_from_yt(cls, ds, quantity_mapping)
+
+
 class AMRGridView(AMRGrid):
     """A view selecting one quantity across all fabs."""
 

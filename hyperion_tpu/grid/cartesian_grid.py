@@ -54,3 +54,9 @@ class CartesianGrid(StructuredGrid):
         self.widths[0] = gdx
         self.widths[1] = gdy
         self.widths[2] = gdz
+
+    def to_yt(self, dust_id=0):
+        """Convert to a yt uniform-grid dataset (requires yt; ref
+        cartesian_grid.py:430-444)."""
+        from .yt_compat import cartesian_grid_to_yt_dataset
+        return cartesian_grid_to_yt_dataset(self, dust_id=dust_id)

@@ -334,10 +334,22 @@ class Model(FreezableClass, RunConf):
         self.write_run_conf(root)
         self.conf.output.write(g_output)
 
-        g_grid = root.create_group('Grid')
-        self.grid._check_array_dimensions()
-        self.grid.write(g_grid, copy=copy, absolute_paths=absolute_paths,
-                        compression=compression, physics_dtype=physics_dtype)
+        from ..grid import GridOnDisk
+        if isinstance(self.grid, GridOnDisk):
+            # embed by reference (external link) or deep-copy the group
+            # (ref model.py:607-610 link_or_copy)
+            if copy:
+                with h5py.File(self.grid.filename, 'r') as fsrc:
+                    fsrc.copy(self.grid.path, root, name='Grid')
+            else:
+                root['Grid'] = self.grid.link
+            g_grid = None
+        else:
+            g_grid = root.create_group('Grid')
+            self.grid._check_array_dimensions()
+            self.grid.write(g_grid, copy=copy, absolute_paths=absolute_paths,
+                            compression=compression,
+                            physics_dtype=physics_dtype)
 
         if 'density' in self.grid:
             if self.dust is None:
@@ -359,6 +371,10 @@ class Model(FreezableClass, RunConf):
 
             min_se = self._resolved_minimum_specific_energy(self._dust_objects())
             if min_se is not None:
+                if g_grid is None:
+                    raise ValueError("Cannot set minimum specific energy or "
+                                     "temperature when using a grid from "
+                                     "disk")
                 g_grid['Quantities'].attrs['minimum_specific_energy'] = \
                     [float(x) for x in min_se]
         else:
@@ -518,6 +534,15 @@ class Model(FreezableClass, RunConf):
                              for name in sorted(base['Dust'])]
         finally:
             f.close()
+
+    def use_grid_from_file(self, filename, path='/', dust=[]):
+        """Reference a grid inside an existing HDF5 file without reading it
+        into memory (ref model.py:897-914): ``write()`` embeds it as an
+        external link (``copy=False``) or deep-copies the group. ``dust``
+        lists one dust file/object per density population in the grid."""
+        from ..grid import GridOnDisk
+        self.grid = GridOnDisk(filename, path=path)
+        self.dust = dust
 
     def use_sources(self, filename):
         """Adopt the source list from a previous input/output file
