@@ -129,9 +129,6 @@ def _run_imaging_mono(model, out, geometry, dt, st, density, specific_energy,
     import jax.numpy as jnp
     from ..transport.mono import run_mono
 
-    if model.raytracing:
-        raise NotImplementedError("Raytracing in monochromatic mode is not "
-                                  "yet supported")
     for group in groups:
         if group.track_origin in ('detailed', 'scatterings'):
             raise NotImplementedError(
@@ -151,16 +148,51 @@ def _run_imaging_mono(model, out, geometry, dt, st, density, specific_energy,
         batch_size=batch_size, n_inter_max=model.n_inter_max,
         kill_on_scatter=model.kill_on_scatter,
         forced_first_interaction=model.forced_first_interaction,
-        peeloff_scattering_only=False,
+        # with raytracing the MC pass peels scattered light only; the
+        # direct component comes from the raytraced pass below
+        # (ref main.f90:272 do_final_mono(..., use_raytracing))
+        peeloff_scattering_only=model.raytracing,
         ffi_algorithm=model.forced_first_interaction_algorithm,
         ffi_baes16_xi=model.forced_first_interaction_baes16_xi,
         n_reabs_max=model.n_reabs_max, mesh=mesh)
+
+    # raytraced direct + thermal emission at the exact frequencies
+    # (ref main.f90:296-302: do_raytracing runs after do_final_mono too)
+    ray_sed = ray_img = None
+    if model.raytracing:
+        from ..transport.raytrace import (build_raytrace_tables_mono,
+                                          run_raytracing)
+        n_ray_src = model.n_photons.get('raytracing_sources', 0)
+        n_ray_dust = model.n_photons.get('raytracing_dust', 0)
+        dusts = model._dust_objects()
+        freqs = np.asarray(model._frequencies, float)
+        ray_sed = [None] * len(groups)
+        ray_img = [None] * len(groups)
+        for gi, group in enumerate(groups):
+            # each group images a contiguous slice of the mono frequencies
+            fsub = freqs[group.iwav_min:group.iwav_min + group.n_nu]
+            rt, var_grids = build_raytrace_tables_mono(
+                dusts, model.sources, dt, st, fsub,
+                se if se is not None else jnp.zeros_like(density),
+                density, geometry.volumes, dtype,
+                length_scale=geometry.length_scale)
+            key, k_ray = jax.random.split(key)
+            seds, imgs = run_raytracing(
+                geometry, dt, st, rt, var_grids, [group], density, k_ray,
+                n_ray_src, n_ray_dust, batch_size, dtype,
+                specific_energy=se if se is not None else
+                jnp.zeros_like(density), mesh=mesh)
+            ray_sed[gi] = seds[0]
+            ray_img[gi] = imgs[0]
 
     g_peeled = out.create_group('Peeled')
     for i, (conf, group, acc) in enumerate(zip(model.peeled_output, groups,
                                                accums)):
         g = g_peeled.create_group('group_%05i' % (i + 1))
-        write_peel_group(g, conf, group, acc, 1.0,
+        extra = None
+        if ray_sed is not None:
+            extra = (ray_sed[i], ray_img[i])
+        write_peel_group(g, conf, group, acc, 1.0, raytraced=extra,
                          frequencies=np.asarray(model._frequencies, float))
     out.attrs['killed_photons_int_final'] = stats['killed_int']
     out.attrs['killed_photons_geo_final'] = 0

@@ -141,6 +141,61 @@ def build_raytrace_tables(dusts, sources, dt, st, group, specific_energy,
         total_grid_luminosity=f(total)), var_grids, nu_edges
 
 
+def build_raytrace_tables_mono(dusts, sources, dt, st, frequencies,
+                               specific_energy, density, volumes, dtype,
+                               length_scale=1.0):
+    """Exact-frequency raytrace tables for monochromatic mode
+    (ref: do_raytracing after do_final_mono with use_exact_nu images,
+    image_bin_raytraced at image_type.f90:526-580).
+
+    Spectra are per-Hz probability DENSITIES at the mono frequencies —
+    fnu/int(fnu dnu) for sources and jnu/int(jnu dnu) per dust state —
+    matching the monochromatic MC photon weights (mono.py
+    source_mono_energies / dust_mono_cell_pdfs), so the raytraced flux adds
+    to the MC accumulators in the same units.
+    """
+    from .mono import source_mono_energies
+    from ..util.integrate import integrate_loglog
+
+    frequencies = np.asarray(frequencies, float)
+    source_spec = source_mono_energies(sources, frequencies)
+
+    n_var_eff = 60
+    dust_spec = []
+    var_grids = []
+    for d in dusts:
+        em = d.emissivities
+        var = np.asarray(em.var, float)
+        enu = np.asarray(em.nu, float)
+        idx = np.unique(np.linspace(0, len(var) - 1, n_var_eff).astype(int))
+        var_grids.append(var[idx])
+        for i in idx:
+            jnu = np.maximum(np.asarray(em.jnu[:, i], float), 0.0)
+            norm = integrate_loglog(enu, jnu)
+            if norm > 0:
+                dust_spec.append(np.interp(frequencies, enu, jnu / norm,
+                                           left=0.0, right=0.0))
+            else:
+                dust_spec.append(np.zeros_like(frequencies))
+    dust_spec = np.array(dust_spec)
+
+    chi_nu = np.array([d.optical_properties.interp_chi_nu(frequencies)
+                       for d in dusts])
+
+    se = np.asarray(specific_energy, float)
+    rho = np.asarray(density, float)
+    vol = np.asarray(volumes, float)
+    lum = (se * rho * vol[None, :]).reshape(-1) * length_scale ** 2
+    total = lum.sum()
+    cdf = np.cumsum(lum) / total if total > 0 else \
+        np.linspace(0, 1, lum.size)
+    f = lambda a: jnp.asarray(a, dtype=dtype)
+    return RaytraceTables(
+        source_spec=f(source_spec), dust_spec=f(dust_spec),
+        chi_nu=f(chi_nu), cell_lum=f(lum), cell_cdf=f(cdf),
+        total_grid_luminosity=f(total)), var_grids
+
+
 def run_raytracing(geometry, dt, st, rt, var_grids, groups, density, key,
                    n_ray_sources, n_ray_dust, batch_size, dtype,
                    specific_energy=None, jnu_var_id=None, mesh=None):

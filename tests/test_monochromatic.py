@@ -109,3 +109,38 @@ def test_mono_dust_emission_runs(tmp_path):
                              component='source_emit')
     assert sed.val[1] > sed_direct.val[1]
     out.close()
+
+
+def test_mono_raytracing_matches_mc_direct(tmp_path):
+    """Raytraced direct light at exact frequencies equals the MC estimate:
+    run the same optically-thin model with and without raytracing — the
+    noise-free raytraced SED must match the analytic B_nu expectation
+    (ref: do_raytracing after do_final_mono, main.f90:296-302)."""
+    wavelengths = [0.5, 1.0, 2.0, 5.0]
+    m = Model()
+    lim = 3 * au
+    m.set_cartesian_grid(np.linspace(-lim, lim, 12),
+                         np.linspace(-lim, lim, 12),
+                         np.linspace(-lim, lim, 12))
+    m.add_density_grid(np.full(m.grid.shape, 1e-22), make_dust())
+    s = m.add_point_source()
+    s.luminosity = lsun
+    s.temperature = 6000.0
+    sed = m.add_peeled_images(sed=True, image=False)
+    sed.set_viewing_angles([45.0], [60.0])
+    sed.set_aperture_radii(1, lim * 10, lim * 10)
+    m.set_monochromatic(True, wavelengths=wavelengths)
+    sed.set_wavelength_index_range(0, len(wavelengths) - 1)
+    m.set_raytracing(True)
+    m.set_n_photons(initial=0, imaging_sources=5000, imaging_dust=0,
+                    raytracing_sources=20000, raytracing_dust=0)
+    m.set_n_initial_iterations(0)
+    m.write(str(tmp_path / 'monoray.rtin'))
+    out = m.run()
+    sed_out = out.get_sed(inclination=0, aperture=-1)
+    T = 6000.0
+    nu = np.sort(c / (np.asarray(wavelengths) * 1.e-4))
+    expected = nu * lsun * pi * B_nu(nu, T) / (sigma * T ** 4)
+    # raytraced direct light is noise-free: tight tolerance
+    assert np.allclose(sed_out.val, expected, rtol=2e-2)
+    out.close()
