@@ -2,10 +2,12 @@
 
 ``construct_octree`` recursively refines cells containing more than
 ``n_ref`` particles (reference stopping criterion), then discretizes the
-particle masses onto the leaves. The reference uses a C kernel-integration
-module (_discretize_sph.c) for exact spline-kernel overlap; here the default
-is per-particle Monte-Carlo kernel sampling (vectorized), which converges to
-the same discretization and needs no native extension.
+particle masses onto the leaves. The default discretization is the exact
+separable-Gaussian kernel overlap of the reference's C module
+(_discretize_sph.c), served by the native C++ kernel in
+hyperion_tpu/native (numpy fallback when no compiler is available);
+``method='mc'`` keeps the Monte-Carlo sampling variant for
+cross-validation.
 """
 
 import numpy as np
@@ -14,7 +16,8 @@ from ..grid import OctreeGrid
 
 
 def construct_octree(x, y, z, dx, dy, dz, px, py, pz, sigma, mass,
-                     n_ref=64, max_level=20, mc_samples=16, seed=1234):
+                     n_ref=64, max_level=20, mc_samples=16, seed=1234,
+                     method='exact'):
     """Build an OctreeGrid refined on SPH particles and a density quantity.
 
     Parameters mirror the reference: (x, y, z) root center, (dx, dy, dz)
@@ -63,20 +66,32 @@ def construct_octree(x, y, z, dx, dy, dz, px, py, pz, sigma, mass,
     refined = np.array(refined, dtype=bool)
     grid = OctreeGrid(x, y, z, dx, dy, dz, refined)
 
-    # --- discretize mass: Monte-Carlo Gaussian-kernel samples per particle ---
     centers, halves, children = grid.tree_tables()
-    rng = np.random.RandomState(seed)
     n_nodes = len(refined)
     cell_mass = np.zeros(n_nodes)
 
-    n_p = len(px)
-    for s in range(mc_samples):
-        sx = px + sigma * rng.randn(n_p)
-        sy = py + sigma * rng.randn(n_p)
-        sz = pz + sigma * rng.randn(n_p)
-        leaf = _locate(centers, halves, children, refined, sx, sy, sz)
-        ok = leaf >= 0
-        np.add.at(cell_mass, leaf[ok], mass[ok] / mc_samples)
+    if method == 'exact':
+        # exact separable-Gaussian kernel overlap per leaf (the reference's
+        # _discretize_sph.c math; native C++ kernel with numpy fallback)
+        from ..native import discretize_sph
+        leaves = np.where(~refined)[0]
+        lo = centers[leaves] - halves[leaves]
+        hi = centers[leaves] + halves[leaves]
+        cell_mass[leaves] = discretize_sph(
+            lo[:, 0], hi[:, 0], lo[:, 1], hi[:, 1], lo[:, 2], hi[:, 2],
+            px, py, pz, sigma, mass)
+    else:
+        # Monte-Carlo Gaussian-kernel samples per particle (converges to
+        # the exact discretization; kept for cross-validation)
+        rng = np.random.RandomState(seed)
+        n_p = len(px)
+        for s in range(mc_samples):
+            sx = px + sigma * rng.randn(n_p)
+            sy = py + sigma * rng.randn(n_p)
+            sz = pz + sigma * rng.randn(n_p)
+            leaf = _locate(centers, halves, children, refined, sx, sy, sz)
+            ok = leaf >= 0
+            np.add.at(cell_mass, leaf[ok], mass[ok] / mc_samples)
 
     volumes = 8.0 * halves[:, 0] * halves[:, 1] * halves[:, 2]
     density = np.where(refined, 0.0, cell_mass / volumes)
