@@ -164,9 +164,16 @@ def run_model(model, filename, batch_size=None, dtype=None, parallel=False):
     seed = model._seed
     key = jax.random.PRNGKey(abs(seed) % (2 ** 31))
 
+    from ..util.perf import PerfTable
+    perf = PerfTable()
     iterations = []
+    _iter_t = [time.time()]
 
     def callback(it, se, rho, n_photons_cell, se_spectrum=None):
+        now = time.time()
+        perf.add('lucy iteration %d' % it, now - _iter_t[-1],
+                 photons=n_initial)
+        _iter_t.append(now)
         iterations.append(dict(
             specific_energy=se.copy(), density=rho.copy(),
             n_photons=n_photons_cell.copy(),
@@ -256,12 +263,18 @@ def run_model(model, filename, batch_size=None, dtype=None, parallel=False):
     # writing an output missing images.
     if model.peeled_output or model.binned_output is not None:
         from .imaging_runner import run_imaging
+        perf.start('imaging + raytracing')
         run_imaging(model, out, geometry, dt, st, density,
                     iterations[-1]['specific_energy'] if iterations else None,
                     batch_size, dtype, mesh=mesh)
+        n_img = (model.n_photons.get('last') or 0) + \
+            (model.n_photons.get('last_sources') or 0) + \
+            (model.n_photons.get('last_dust') or 0)
+        perf.stop(photons=n_img or None)
 
     out.attrs['cpu_time'] = time.time() - t_start
     out.attrs['date_ended'] = np.bytes_(datetime.datetime.now().isoformat())
+    perf.report()
 
     # Embed the input for self-contained outputs (ref main.f90:135-151)
     if model.copy_input and model.filename is not None:

@@ -40,6 +40,7 @@ class PacketState(NamedTuple):
     n_mrw: jnp.ndarray         # MRW step count since emission
     n_reabs: jnp.ndarray       # successive source re-absorption count
     reemit_src: jnp.ndarray    # source row to re-emit from (-1 = none)
+    uid: jnp.ndarray           # photon id for per-cell visit dedup
     alive: jnp.ndarray         # bool
     chi: jnp.ndarray           # (B, n_dust) cached extinction at nu
     kappa: jnp.ndarray         # (B, n_dust) cached absorption at nu
@@ -55,7 +56,12 @@ class LucyCarry(NamedTuple):
     # (n_dust, n_bins, n_cells) nu-resolved deposits, (n_dust, 0, n_cells)
     # when the spectrum is not requested (ref grid_physics_3d.f90:41-56)
     energy_sum_spec: jnp.ndarray
-    n_photons_cell: jnp.ndarray  # (n_cells,) entry counts (diagnostic)
+    # (n_cells,) unique-photon visit counts: a cell's count only grows when
+    # a DIFFERENT photon enters it (ref last_photon_id dedup,
+    # grid_propagate_3d.f90:91-97) — it feeds the PDA starvation statistic
+    n_photons_cell: jnp.ndarray
+    last_uid_cell: jnp.ndarray   # (n_cells+1,) uid of the last visitor
+    uid_counter: jnp.ndarray     # next fresh photon id
     killed_int: jnp.ndarray
     killed_geo: jnp.ndarray
     n_steps: jnp.ndarray
@@ -198,6 +204,10 @@ def make_lucy_step(geometry, dt, st, density, jnu_var_id, jnu_var_frac,
                                       new['kx'], new['ky'], new['kz'])
         chi_n, kappa_n, alb_n = update_optical_constants(dt, new['nu'])
         tau_new = random_exp(k_tau, p.tau.shape, dtype)
+        # fresh photons get ids from the consumed-budget counter (re-emitted
+        # re-absorbed photons keep theirs — same physical photon)
+        uid_base = carry.uid_counter
+        uid_new = (uid_base + rank).astype(jnp.int32)
 
         def m(old, new_):
             return jnp.where(can, new_, old) if old.ndim == 1 else \
@@ -217,15 +227,21 @@ def make_lucy_step(geometry, dt, st, density, jnu_var_id, jnu_var_frac,
                      if reabs_on else p.n_reabs),
             reemit_src=(jnp.where(pending, -1, p.reemit_src)
                         if reabs_on else p.reemit_src),
+            uid=jnp.where(can_fresh, uid_new, p.uid),
             alive=p.alive | (can & (cell_new != ESCAPED)),
             chi=m(p.chi, chi_n), kappa=m(p.kappa, kappa_n),
             albedo=m(p.albedo, alb_n),
         )
         # Photons emitted outside the grid simply escape (the reference
         # errors out; the model layer validates sources are inside the grid)
+        emit_idx = jnp.where(can_fresh & (cell_new != ESCAPED), cell_new,
+                             n_cells)
+        prev_uid = carry.last_uid_cell[emit_idx]
+        fresh_visit = prev_uid != packets.uid
         n_photons_cell = carry.n_photons_cell.at[
-            jnp.where(can_fresh & (cell_new != ESCAPED), cell_new, n_cells)
-        ].add(1, mode='drop')
+            jnp.where(fresh_visit, emit_idx, n_cells)].add(1, mode='drop')
+        last_uid_cell = carry.last_uid_cell.at[emit_idx].set(
+            packets.uid, mode='drop')
         killed_int = carry.killed_int
         if reabs_on:
             killed_int = killed_int + jnp.sum(
@@ -234,7 +250,9 @@ def make_lucy_step(geometry, dt, st, density, jnu_var_id, jnu_var_frac,
         return carry._replace(
             packets=packets, key=key, budget=carry.budget - n_new,
             energy_current=carry.energy_current + e_new.astype(dtype),
-            killed_int=killed_int, n_photons_cell=n_photons_cell)
+            killed_int=killed_int, n_photons_cell=n_photons_cell,
+            last_uid_cell=last_uid_cell,
+            uid_counter=uid_base + n_new.astype(uid_base.dtype))
 
     def step(carry):
         carry = refill(carry)
@@ -386,9 +404,16 @@ def make_lucy_step(geometry, dt, st, density, jnu_var_id, jnu_var_frac,
         # --- wall crossing ---
         cell = jnp.where(moving & hits_wall, next_cell, p.cell)
         escaped = moving & hits_wall & (cell == ESCAPED)
+        # unique-photon visit counting (ref last_photon_id dedup,
+        # grid_propagate_3d.f90:91-97): only count when a different photon
+        # enters the cell than the one recorded there
+        enter_idx = jnp.where(moving & hits_wall & (cell != ESCAPED), cell,
+                              n_cells)
+        fresh_visit = carry.last_uid_cell[enter_idx] != p.uid
         n_photons_cell = carry.n_photons_cell.at[
-            jnp.where(moving & hits_wall & (cell != ESCAPED), cell, n_cells)
-        ].add(1, mode='drop')
+            jnp.where(fresh_visit, enter_idx, n_cells)].add(1, mode='drop')
+        last_uid_cell = carry.last_uid_cell.at[enter_idx].set(
+            p.uid, mode='drop')
 
         # --- interaction (absorb+re-emit or scatter) ---
         interacting = moving & ~hits_wall
@@ -479,13 +504,15 @@ def make_lucy_step(geometry, dt, st, density, jnu_var_id, jnu_var_frac,
         packets = PacketState(x=x, y=y, z=z, kx=kx, ky=ky, kz=kz, nu=nu,
                               energy=p.energy, cell=cell, tau=tau,
                               n_inter=n_inter, n_mrw=n_mrw, n_reabs=n_reabs,
-                              reemit_src=reemit_src, alive=alive,
+                              reemit_src=reemit_src, uid=p.uid, alive=alive,
                               chi=chi, kappa=kappa, albedo=albedo)
         return LucyCarry(
             packets=packets, key=key, budget=carry.budget,
             energy_current=carry.energy_current, energy_sum=energy_sum,
             energy_sum_spec=energy_sum_spec,
             n_photons_cell=n_photons_cell,
+            last_uid_cell=last_uid_cell,
+            uid_counter=carry.uid_counter,
             killed_int=carry.killed_int + jnp.sum(killed_now.astype(carry.killed_int.dtype)),
             killed_geo=killed_geo,
             n_steps=carry.n_steps + 1)
@@ -522,6 +549,7 @@ def lucy_iteration_impl(geometry, dt, st, density, jnu_var_id, jnu_var_frac,
         n_mrw=jnp.zeros((B,), dtype=jnp.int32),
         n_reabs=jnp.zeros((B,), dtype=jnp.int32),
         reemit_src=jnp.full((B,), -1, dtype=jnp.int32),
+        uid=jnp.full((B,), -1, dtype=jnp.int32),
         alive=jnp.zeros((B,), dtype=bool),
         chi=zeros(B, n_dust), kappa=zeros(B, n_dust),
         albedo=zeros(B, n_dust))
@@ -533,6 +561,8 @@ def lucy_iteration_impl(geometry, dt, st, density, jnu_var_id, jnu_var_frac,
         energy_sum=jnp.zeros((n_dust, n_cells), dtype=dtype),
         energy_sum_spec=jnp.zeros((n_dust, n_bins, n_cells), dtype=dtype),
         n_photons_cell=jnp.zeros((n_cells,), dtype=itype),
+        last_uid_cell=jnp.full((n_cells + 1,), -2, dtype=jnp.int32),
+        uid_counter=jnp.asarray(0, dtype=itype),
         killed_int=jnp.asarray(0, dtype=itype),
         killed_geo=jnp.asarray(0, dtype=itype),
         n_steps=jnp.asarray(0, dtype=itype))

@@ -109,3 +109,38 @@ def test_temperature_matches_dust_conversion():
     E = res.specific_energy[0]
     pos = E > 0
     assert np.allclose(E[pos], 4 * sigma * T[pos] ** 4 * 10.0, rtol=2e-2)
+
+
+def test_n_photons_cell_unique_photon_dedup():
+    """A single photon can count each cell at most once no matter how often
+    it re-enters (ref last_photon_id dedup, grid_propagate_3d.f90:91-97)."""
+    import jax
+    import jax.numpy as jnp
+    from hyperion_tpu.dust import IsotropicDust
+    from hyperion_tpu.grid import CartesianGrid
+    from hyperion_tpu.sources import PointSource
+    from hyperion_tpu.transport import (build_dust_tables,
+                                        build_cartesian_geometry,
+                                        build_source_tables)
+    from hyperion_tpu.transport.lucy import compute_jnu_var
+    from hyperion_tpu.transport.engine import run_lucy_iteration
+
+    nu = np.logspace(5, 18, 16)
+    # pure scattering keeps one photon bouncing through many cells
+    dust = IsotropicDust(nu, np.repeat(0.999, 16), np.repeat(1.0, 16))
+    grid = CartesianGrid(np.linspace(-1, 1, 5), np.linspace(-1, 1, 5),
+                         np.linspace(-1, 1, 5))
+    geometry = build_cartesian_geometry(grid, dtype=jnp.float64)
+    dt = build_dust_tables([dust], dtype=jnp.float64)
+    st = build_source_tables([PointSource(luminosity=1.0,
+                                          temperature=5000.0)],
+                             dtype=jnp.float64)
+    density = jnp.full((1, grid.n_cells), 3.0, dtype=jnp.float64)
+    jid, jfrac = compute_jnu_var(dt, jnp.zeros_like(density))
+    config = (('n_inter_max', 100000), ('kill_on_scatter', False),
+              ('kill_on_absorb', False), ('max_steps', 100000))
+    out = run_lucy_iteration(geometry, dt, st, density, jid, jfrac,
+                             jax.random.PRNGKey(7), 1, 64, config)
+    npc = np.asarray(out[2])
+    assert npc.sum() >= 3          # it traversed several cells...
+    assert npc.max() <= 1          # ...but never recounted one
