@@ -400,7 +400,9 @@ class ImageConf(FreezableClass):
         if track_origin != 'scatterings' and n_scat is not None:
             raise Exception("n_scat can only be used with track_origin='scatterings'")
         self.track_origin = track_origin
-        self.track_n_scat = n_scat
+        # the reference defaults a missing n_scat to 0 (conf_files.py
+        # set_track_origin: track_n_scat = n_scat or 0)
+        self.track_n_scat = n_scat or 0
 
     def set_uncertainties(self, uncertainties):
         self.uncertainties = bool(uncertainties)

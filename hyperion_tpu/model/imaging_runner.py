@@ -129,11 +129,6 @@ def _run_imaging_mono(model, out, geometry, dt, st, density, specific_energy,
     import jax.numpy as jnp
     from ..transport.mono import run_mono
 
-    for group in groups:
-        if group.track_origin in ('detailed', 'scatterings'):
-            raise NotImplementedError(
-                "track_origin='%s' is not yet supported in monochromatic "
-                "mode" % group.track_origin)
     n_src = model.n_photons.get('last_sources', 0)
     n_dustp = model.n_photons.get('last_dust', 0)
     se = None

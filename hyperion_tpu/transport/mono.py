@@ -36,7 +36,7 @@ from .sampling import (isotropic_direction, random_exp, rotate_direction,
                        sample_cdf_rows2)
 from .engine import select_dust, sample_scattering_mu
 from .imaging import (peel_and_bin, escape_tau_walk, init_peel_accum,
-                      basic_provenance,
+                      Provenance,
                       ORIG_SOURCE_EMIT, ORIG_DUST_EMIT, ORIG_SOURCE_SCAT,
                       ORIG_DUST_SCAT)
 
@@ -180,6 +180,10 @@ class MonoPacketState(NamedTuple):
     alive: jnp.ndarray
     reprocessed: jnp.ndarray
     scattered: jnp.ndarray
+    # full provenance for track_origin='detailed'/'scatterings'
+    source_id: jnp.ndarray
+    dust_id: jnp.ndarray
+    n_scat: jnp.ndarray
 
 
 def _make_mono_step(geometry, dt, st, density, groups, config, mode,
@@ -246,6 +250,8 @@ def _make_mono_step(geometry, dt, st, density, groups, config, mode,
                               st.energy_weight[new['source']])
             orig_emit_rows = jnp.full((B,), ORIG_SOURCE_EMIT, dtype=jnp.int32)
             reproc_new = jnp.zeros((B,), dtype=bool)
+            source_id_new = new['source'].astype(jnp.int32)
+            dust_id_new = jnp.zeros((B,), dtype=jnp.int32)
             cell_new = geometry.find_cell(nx, ny, nz, nkx, nky, nkz)
         else:
             # uniform dust pick, cell from the per-dust CDF
@@ -266,6 +272,8 @@ def _make_mono_step(geometry, dt, st, density, groups, config, mode,
             e_new = mean_prob[d_pick]
             orig_emit_rows = jnp.full((B,), ORIG_DUST_EMIT, dtype=jnp.int32)
             reproc_new = jnp.ones((B,), dtype=bool)
+            source_id_new = jnp.zeros((B,), dtype=jnp.int32)
+            dust_id_new = d_pick.astype(jnp.int32)
             cell_new = cell_pick
             can = can_fresh
             if reabs_on:
@@ -284,6 +292,8 @@ def _make_mono_step(geometry, dt, st, density, groups, config, mode,
                 orig_emit_rows = jnp.where(reemit_ok, ORIG_SOURCE_EMIT,
                                            orig_emit_rows)
                 reproc_new = jnp.where(reemit_ok, False, reproc_new)
+                source_id_new = jnp.where(reemit_ok, jnp.maximum(
+                    p.reemit_src, 0), source_id_new)
                 cell_new = jnp.where(
                     reemit_ok,
                     geometry.find_cell(nx, ny, nz, nkx, nky, nkz), cell_new)
@@ -325,7 +335,10 @@ def _make_mono_step(geometry, dt, st, density, groups, config, mode,
                         if reabs_on else p.reemit_src),
             alive=p.alive | emitted,
             reprocessed=jnp.where(can, reproc_new, p.reprocessed),
-            scattered=jnp.where(can, False, p.scattered))
+            scattered=jnp.where(can, False, p.scattered),
+            source_id=jnp.where(can, source_id_new, p.source_id),
+            dust_id=jnp.where(can, dust_id_new, p.dust_id),
+            n_scat=jnp.where(can, 0, p.n_scat))
 
         accums = carry['accums']
         # emission peeloff with the PRE-FFI energy (ref peels before the
@@ -342,7 +355,12 @@ def _make_mono_step(geometry, dt, st, density, groups, config, mode,
                 jnp.ones((B,), dtype=dtype), jnp.zeros((B,), dtype=bool),
                 jnp.zeros((B,), dtype=jnp.int32),
                 packets.kx, packets.ky, packets.kz,
-                basic_provenance(orig_emit_rows, packets.cell),
+                Provenance(
+                    scattered=jnp.zeros((B,), bool),
+                    reprocessed=packets.reprocessed,
+                    source_id=packets.source_id,
+                    dust_id=packets.dust_id,
+                    n_scat=jnp.zeros((B,), jnp.int32)),
                 peel_emit, dtype, inu_global=inu_global)
 
         p = packets
@@ -414,14 +432,20 @@ def _make_mono_step(geometry, dt, st, density, groups, config, mode,
             n_reabs = p.n_reabs
 
         # ---- scattering peeloff --------------------------------------------
-        orig_idx = jnp.where(p.reprocessed, ORIG_DUST_SCAT, ORIG_SOURCE_SCAT)
         peel_events = interacting & ~killed_now
+        n_scat_new = p.n_scat + interacting.astype(jnp.int32)
         accums = peel_and_bin(
             geometry, dt, density, groups, accums,
             x, y, z, chi_rows, cell,
             jnp.full((B,), nu_value, dtype=dtype), energy,
             jnp.ones((B,), dtype=dtype), jnp.ones((B,), dtype=bool),
-            d_sel, p.kx, p.ky, p.kz, basic_provenance(orig_idx, cell),
+            d_sel, p.kx, p.ky, p.kz,
+            Provenance(scattered=jnp.ones((B,), bool),
+                       reprocessed=p.reprocessed,
+                       source_id=p.source_id,
+                       dust_id=jnp.where(interacting, d_sel.astype(jnp.int32),
+                                         p.dust_id),
+                       n_scat=n_scat_new),
             peel_events, dtype, inu_global=inu_global)
 
         tau = jnp.where(interacting, random_exp(k_tau2, (B,), dtype), tau)
@@ -430,7 +454,11 @@ def _make_mono_step(geometry, dt, st, density, groups, config, mode,
             energy_initial=p.energy_initial, cell=cell, tau=tau,
             n_inter=n_inter, n_reabs=n_reabs, reemit_src=reemit_src,
             alive=alive, reprocessed=p.reprocessed,
-            scattered=p.scattered | interacting)
+            scattered=p.scattered | interacting,
+            source_id=p.source_id,
+            dust_id=jnp.where(interacting, d_sel.astype(jnp.int32),
+                              p.dust_id),
+            n_scat=n_scat_new)
 
         return dict(packets=packets, key=key, budget=budget, accums=accums,
                     killed_int=carry['killed_int'] +
@@ -462,7 +490,10 @@ def mono_pass_impl(geometry, dt, st, density, groups, accums, key, n_photons,
         reemit_src=jnp.full((B,), -1, dtype=jnp.int32),
         alive=jnp.zeros((B,), dtype=bool),
         reprocessed=jnp.zeros((B,), dtype=bool),
-        scattered=jnp.zeros((B,), dtype=bool))
+        scattered=jnp.zeros((B,), dtype=bool),
+        source_id=jnp.zeros((B,), dtype=jnp.int32),
+        dust_id=jnp.zeros((B,), dtype=jnp.int32),
+        n_scat=jnp.zeros((B,), dtype=jnp.int32))
 
     carry = dict(packets=packets, key=key,
                  budget=jnp.asarray(n_photons, dtype=itype),

@@ -144,3 +144,50 @@ def test_mono_raytracing_matches_mc_direct(tmp_path):
     # raytraced direct light is noise-free: tight tolerance
     assert np.allclose(sed_out.val, expected, rtol=2e-2)
     out.close()
+
+
+def test_mono_track_origin_detailed(tmp_path):
+    """Detailed origin slices in mono mode: direct flux lands in the source
+    slice, scattered flux in the source-scat slice, and their sum matches
+    the basic run (ref image_type.f90:228-241 origin expansion)."""
+    wavelengths = [1.0, 2.0]
+    rho = 2e-19
+    m = mono_model(tmp_path, rho=rho, wavelengths=wavelengths,
+                   track='detailed')
+    out = m.run()
+    # component selection through the public API
+    direct = out.get_sed(inclination=0, aperture=-1, component='source_emit')
+    scat = out.get_sed(inclination=0, aperture=-1, component='source_scat')
+    demit = out.get_sed(inclination=0, aperture=-1, component='dust_emit')
+    total = out.get_sed(inclination=0, aperture=-1)
+    np.testing.assert_allclose(direct.val + scat.val + demit.val, total.val,
+                               rtol=1e-6)
+    assert direct.val.sum() > 0
+    assert scat.val.sum() > 0          # some scattering at this density
+    out.close()
+
+    m2 = mono_model(tmp_path, rho=rho, wavelengths=wavelengths, track='no')
+    out2 = m2.run()
+    total2 = out2.get_sed(inclination=0, aperture=-1)
+    np.testing.assert_allclose(total.val, total2.val, rtol=0.1)
+    out2.close()
+
+
+def test_mono_track_origin_scatterings(tmp_path):
+    """scatterings mode: slice 0 = unscattered, higher slices = n-times
+    scattered; total conserved vs basic."""
+    wavelengths = [1.0]
+    m = mono_model(tmp_path, rho=2e-19, wavelengths=wavelengths,
+                   track='scatterings')
+    m.peeled_output[0].set_track_origin('scatterings', n_scat=3)
+    m.write(str(tmp_path / 'mono2.rtin'))
+    out = m.run()
+    total = out.get_sed(inclination=0, aperture=-1)
+    s0 = out.get_sed(inclination=0, aperture=-1, component='source',
+                     n_scat=0)
+    s1 = out.get_sed(inclination=0, aperture=-1, component='source',
+                     n_scat=1)
+    assert s0.val.sum() > 0
+    assert s1.val.sum() > 0
+    assert s0.val.sum() > s1.val.sum()   # single-scattering is weaker
+    out.close()
