@@ -96,3 +96,115 @@ def test_spherical_source_spots(tmp_path):
         s2 = read_source(f['source_00001'])
     assert len(s2.spots) == 1
     assert np.isclose(s2.spots[0].longitude, 30.0)
+
+
+# --- validation battery (ref sources/tests/test_source.py) -----------------
+
+@pytest.mark.parametrize("bad", ['a', [1, 2], (1, 2, 3), object()])
+def test_luminosity_rejects_non_scalars(bad):
+    s = PointSource()
+    with pytest.raises(Exception):
+        s.luminosity = bad
+
+
+@pytest.mark.parametrize("bad", [np.ones((2, 2)), 'xyz', (1.0, 2.0),
+                                 [1.0, 2.0, 3.0, 4.0]])
+def test_position_rejects_bad_shapes(bad):
+    s = PointSource()
+    with pytest.raises(Exception):
+        s.position = bad
+
+
+def test_temperature_must_be_positive():
+    s = PointSource()
+    with pytest.raises(Exception):
+        s.temperature = -100.0
+
+
+def test_spherical_radius_positive():
+    s = SphericalSource()
+    with pytest.raises(Exception):
+        s.radius = -1e10
+
+
+def test_incomplete_source_rejected_at_emit():
+    s = PointSource()
+    s.luminosity = 1.0
+    # no temperature/spectrum: defaults to LTE, which point sources cannot
+    # have (ref source_type.f90:130)
+    from hyperion_tpu.transport import build_source_tables
+    with pytest.raises(Exception):
+        build_source_tables([s])
+
+
+def test_external_box_bounds_validation():
+    s = ExternalBoxSource()
+    with pytest.raises(Exception):
+        s.bounds = [1, 2, 3]
+    s.bounds = [[0., 1.], [0., 2.], [0., 3.]]
+    np.testing.assert_allclose(np.asarray(s.bounds),
+                               [[0., 1.], [0., 2.], [0., 3.]])
+
+
+def test_plane_parallel_direction():
+    s = PlaneParallelSource()
+    s.luminosity = 1.0
+    s.temperature = 5000.0
+    s.radius = 1e10
+    s.position = (0., 0., 0.)
+    s.direction = (45., 30.)
+    s._check_all_set()
+
+
+def test_point_collection_shape_consistency():
+    s = PointSourceCollection()
+    s.position = np.zeros((4, 3))
+    with pytest.raises(Exception):
+        s.luminosity = np.ones(3)   # mismatched length
+
+
+def test_all_types_roundtrip_rtin(tmp_path):
+    """Model-level write/read keeps every source type intact."""
+    import h5py
+    from hyperion_tpu.model import Model
+    from hyperion_tpu.dust import IsotropicDust
+    nu = np.logspace(5, 18, 12)
+    dust = IsotropicDust(nu, np.repeat(0.4, 12), np.repeat(1.0, 12))
+    m = Model()
+    m.set_cartesian_grid(np.linspace(-1, 1, 3), np.linspace(-1, 1, 3),
+                         np.linspace(-1, 1, 3))
+    m.add_density_grid(np.full((2, 2, 2), 0.1), dust)
+
+    p = m.add_point_source()
+    p.luminosity, p.temperature = 1.0, 5000.0
+    sp = m.add_spherical_source()
+    sp.luminosity, sp.temperature, sp.radius = 2.0, 4000.0, 0.1
+    e = m.add_external_spherical_source()
+    e.luminosity, e.temperature, e.radius = 3.0, 3000.0, 0.9
+    b = m.add_external_box_source()
+    b.luminosity, b.temperature = 4.0, 2000.0
+    b.bounds = [[-1., 1.], [-1., 1.], [-1., 1.]]
+    pp = m.add_plane_parallel_source()
+    pp.luminosity, pp.temperature, pp.radius = 5.0, 1000.0, 0.2
+    pp.position, pp.direction = (0., 0., 0.9), (180., 0.)
+    pc = m.add_point_source_collection()
+    pc.position = np.array([[0.1, 0., 0.], [-0.1, 0., 0.]])
+    pc.luminosity = np.array([0.5, 0.5])
+    pc.temperature = 6000.0
+    mp = m.add_map_source()
+    mp.luminosity = 6.0
+    mp.map = np.ones((2, 2, 2))
+    mp.temperature = 500.0
+
+    m.set_n_photons(initial=10, imaging=0)
+    fn = str(tmp_path / 'all_sources.rtin')
+    m.write(fn)
+    m2 = Model.read(fn)
+    assert len(m2.sources) == 7
+    kinds = sorted(type(s).__name__ for s in m2.sources)
+    assert kinds == sorted(['PointSource', 'SphericalSource',
+                            'ExternalSphericalSource', 'ExternalBoxSource',
+                            'PlaneParallelSource', 'PointSourceCollection',
+                            'MapSource'])
+    total = sum(np.sum(s.luminosity) for s in m2.sources)
+    np.testing.assert_allclose(total, 22.0)
