@@ -108,6 +108,16 @@ class SphericalDust(FreezableClass):
         if not self.mean_opacities.all_set():
             self.mean_opacities.compute(self.optical_properties)
 
+    def set_lte_emissivities(self, n_temp=1200, temp_min=0.1,
+                             temp_max=100000.):
+        """Tabulate LTE emissivities over an explicit temperature grid
+        (ref dust_type.py:105-135): recomputes the mean opacities on
+        (n_temp, temp_min, temp_max) and sets j_nu = kappa_nu B_nu(T)."""
+        self.mean_opacities.compute(self.optical_properties, n_temp=n_temp,
+                                    temp_min=temp_min, temp_max=temp_max)
+        self.emissivities.set_lte(self.optical_properties,
+                                  self.mean_opacities)
+
     def chi_nu_temperature(self, temperature):
         """Planck-mean extinction opacity for a blackbody at ``temperature``."""
         self._compute_mean_opacities()

@@ -68,14 +68,21 @@ class LucyCarry(NamedTuple):
 
 
 def update_optical_constants(dt, nu):
-    """Interpolate chi/kappa/albedo for every dust at each lane's frequency
-    (ref: update_optconsts caching in type_photon). Returns (B, n_dust)."""
+    """Interpolate chi/kappa/albedo for every dust at each lane's frequency.
+    Matches the reference's semantics exactly (update_optconsts,
+    src/dust/dust.f90:74-76): chi and albedo are each log-log interpolated
+    and kappa is DERIVED as chi * (1 - albedo) — with albedos near 1 the
+    derived kappa is ~8x more sensitive to the albedo interpolation than to
+    kappa's own, so interpolating a pre-tabulated kappa is not equivalent.
+    Returns (B, n_dust) each."""
     chis, kappas, albedos = [], [], []
     for d in range(dt.n_dust):
-        chis.append(interp_loglog(dt.nu[d], dt.chi[d], nu))
-        kappas.append(interp_loglog(dt.nu[d], dt.kappa[d], nu))
-        albedos.append(jnp.clip(
-            jnp.interp(jnp.log(nu), jnp.log(dt.nu[d]), dt.albedo[d]), 0.0, 1.0))
+        chi = interp_loglog(dt.nu[d], dt.chi[d], nu)
+        albedo = jnp.clip(interp_loglog(dt.nu[d], dt.albedo[d], nu),
+                          0.0, 1.0)
+        chis.append(chi)
+        albedos.append(albedo)
+        kappas.append(chi * (1.0 - albedo))
     return (jnp.stack(chis, axis=-1), jnp.stack(kappas, axis=-1),
             jnp.stack(albedos, axis=-1))
 

@@ -23,6 +23,8 @@ jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
 
 # XLA:CPU compiles the fused transport loop slowly (~1 min); cache compiled
-# executables across test runs.
-jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+# executables across test runs. HYP_NO_COMPILE_CACHE=1 disables it (used to
+# bisect a rare segfault inside backend_compile_and_load).
+if not os.environ.get("HYP_NO_COMPILE_CACHE"):
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
