@@ -121,6 +121,52 @@ def _pda_tables(model):
     return build_pda_tables(model.grid)
 
 
+def _validate_model(geometry, st, dt):
+    """Fail fast on misconfigurations the reference engine aborts on at
+    runtime (ref hyperion/model/tests/test_fortran.py:13-84): sources
+    placed outside the grid ("photon was not emitted inside a cell") and
+    source spectra extending beyond the dust frequency tables ("photon
+    frequency ... is outside the range defined ... for the dust optical
+    properties"). Checking statically up front gives the same guarantee
+    without waiting for an unlucky sample."""
+    import numpy as np
+    from ..transport.stable import POINT, SPHERE
+    from ..transport.gtable import ESCAPED
+
+    codes = np.asarray(st.type_code)
+    pos = np.asarray(st.position, float)
+    check = np.isin(codes, (POINT, SPHERE))
+    if check.any():
+        import jax.numpy as jnp
+        p = pos[check]
+        z = jnp.zeros(p.shape[0])
+        cell = geometry.find_cell(jnp.asarray(p[:, 0]), jnp.asarray(p[:, 1]),
+                                  jnp.asarray(p[:, 2]), z, z, z + 1.0)
+        bad = np.asarray(cell) == ESCAPED
+        if bad.any():
+            i = int(np.where(check)[0][np.where(bad)[0][0]])
+            raise ValueError(
+                "photon was not emitted inside a cell: source %d at "
+                "position %s lies outside the grid" % (i, pos[i] *
+                                                       geometry.length_scale))
+
+    nu_lo = float(np.asarray(dt.nu).min())
+    nu_hi = float(np.asarray(dt.nu).max())
+    spec = np.asarray(st.spec_nu, float)
+    lte = np.asarray(st.lte, bool) if st.has_lte else \
+        np.zeros(spec.shape[0], bool)
+    for i in range(spec.shape[0]):
+        if lte[i]:
+            continue
+        if spec[i].min() < nu_lo * (1 - 1e-10) or \
+                spec[i].max() > nu_hi * (1 + 1e-10):
+            raise ValueError(
+                "photon frequency for source %d (range %.3e-%.3e Hz) is "
+                "outside the range defined (%.3e-%.3e Hz) for the dust "
+                "optical properties" % (i, spec[i].min(), spec[i].max(),
+                                        nu_lo, nu_hi))
+
+
 def run_model(model, filename, batch_size=None, dtype=None, parallel=False):
     """Execute the model and write the .rtout file.
 
@@ -152,6 +198,7 @@ def run_model(model, filename, batch_size=None, dtype=None, parallel=False):
                              grid=model.grid)
     density = _density_array(model, dtype, geometry.length_scale)
     n_cells = density.shape[1]
+    _validate_model(geometry, st, dt)
 
     if batch_size is None:
         # Heuristic: large enough to fill the VPU, bounded by photon count
