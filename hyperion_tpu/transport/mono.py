@@ -184,6 +184,11 @@ class MonoPacketState(NamedTuple):
     source_id: jnp.ndarray
     dust_id: jnp.ndarray
     n_scat: jnp.ndarray
+    # Stokes polarization fractions (ref scatter_stokes; mono scattering
+    # rotates/polarizes exactly like the final iteration)
+    q: jnp.ndarray
+    u: jnp.ndarray
+    v: jnp.ndarray
 
 
 def _make_mono_step(geometry, dt, st, density, groups, config, mode,
@@ -338,7 +343,10 @@ def _make_mono_step(geometry, dt, st, density, groups, config, mode,
             scattered=jnp.where(can, False, p.scattered),
             source_id=jnp.where(can, source_id_new, p.source_id),
             dust_id=jnp.where(can, dust_id_new, p.dust_id),
-            n_scat=jnp.where(can, 0, p.n_scat))
+            n_scat=jnp.where(can, 0, p.n_scat),
+            q=jnp.where(can, 0.0, p.q),
+            u=jnp.where(can, 0.0, p.u),
+            v=jnp.where(can, 0.0, p.v))
 
         accums = carry['accums']
         # emission peeloff with the PRE-FFI energy (ref peels before the
@@ -361,7 +369,8 @@ def _make_mono_step(geometry, dt, st, density, groups, config, mode,
                     source_id=packets.source_id,
                     dust_id=packets.dust_id,
                     n_scat=jnp.zeros((B,), jnp.int32)),
-                peel_emit, dtype, inu_global=inu_global)
+                peel_emit, dtype, inu_global=inu_global,
+                stokes_in=(packets.q, packets.u, packets.v))
 
         p = packets
         budget = carry['budget'] - n_new
@@ -408,14 +417,16 @@ def _make_mono_step(geometry, dt, st, density, groups, config, mode,
         d_sel = select_dust(k_dust, chi_rows, rho_rows)
         energy = jnp.where(interacting, p.energy * albedo_vec[d_sel],
                            p.energy)
-        mu_s = sample_scattering_mu(dt, d_sel,
-                                    jnp.full_like(p.x, nu_value), k_mu)
-        phi_s = jax.random.uniform(k_phi, (B,), dtype=dtype,
-                                   maxval=2 * jnp.pi)
-        sx, sy, sz = rotate_direction(p.kx, p.ky, p.kz, mu_s, phi_s)
+        from .stokes import sample_scatter_stokes
+        sx, sy, sz, q_s, u_s, v_s = sample_scatter_stokes(
+            dt, d_sel, jnp.full_like(p.x, nu_value), k_mu,
+            p.kx, p.ky, p.kz, p.q, p.u, p.v)
         kx = jnp.where(interacting, sx, p.kx)
         ky = jnp.where(interacting, sy, p.ky)
         kz = jnp.where(interacting, sz, p.kz)
+        q_new = jnp.where(interacting, q_s, p.q)
+        u_new = jnp.where(interacting, u_s, p.u)
+        v_new = jnp.where(interacting, v_s, p.v)
 
         n_inter = p.n_inter + interacting.astype(jnp.int32)
         killed_now = interacting & (
@@ -446,7 +457,8 @@ def _make_mono_step(geometry, dt, st, density, groups, config, mode,
                        dust_id=jnp.where(interacting, d_sel.astype(jnp.int32),
                                          p.dust_id),
                        n_scat=n_scat_new),
-            peel_events, dtype, inu_global=inu_global)
+            peel_events, dtype, inu_global=inu_global,
+            stokes_in=(p.q, p.u, p.v))
 
         tau = jnp.where(interacting, random_exp(k_tau2, (B,), dtype), tau)
         packets = MonoPacketState(
@@ -458,7 +470,8 @@ def _make_mono_step(geometry, dt, st, density, groups, config, mode,
             source_id=p.source_id,
             dust_id=jnp.where(interacting, d_sel.astype(jnp.int32),
                               p.dust_id),
-            n_scat=n_scat_new)
+            n_scat=n_scat_new,
+            q=q_new, u=u_new, v=v_new)
 
         return dict(packets=packets, key=key, budget=budget, accums=accums,
                     killed_int=carry['killed_int'] +
@@ -493,7 +506,8 @@ def mono_pass_impl(geometry, dt, st, density, groups, accums, key, n_photons,
         scattered=jnp.zeros((B,), dtype=bool),
         source_id=jnp.zeros((B,), dtype=jnp.int32),
         dust_id=jnp.zeros((B,), dtype=jnp.int32),
-        n_scat=jnp.zeros((B,), dtype=jnp.int32))
+        n_scat=jnp.zeros((B,), dtype=jnp.int32),
+        q=zeros(B), u=zeros(B), v=zeros(B))
 
     carry = dict(packets=packets, key=key,
                  budget=jnp.asarray(n_photons, dtype=itype),

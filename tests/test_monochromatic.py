@@ -191,3 +191,41 @@ def test_mono_track_origin_scatterings(tmp_path):
     assert s1.val.sum() > 0
     assert s0.val.sum() > s1.val.sum()   # single-scattering is weaker
     out.close()
+
+
+def test_mono_stokes_polarized_scattering(tmp_path):
+    """Monochromatic imaging with Stokes: scattered light off a polarizing
+    dust produces nonzero Q with |Q| <= I, and the I component matches an
+    unpolarized run statistically (ref: mono peeloff carries the full
+    Stokes vector through scatter_stokes)."""
+    from hyperion_tpu.dust import HenyeyGreensteinDust
+    nu = np.logspace(5, 18, 30)
+    dust = HenyeyGreensteinDust(nu, np.repeat(0.6, 30), np.repeat(2.0, 30),
+                                np.repeat(0.4, 30), np.repeat(1.0, 30))
+    m = Model()
+    lim = 3 * au
+    m.set_cartesian_grid(np.linspace(-lim, lim, 10),
+                         np.linspace(-lim, lim, 10),
+                         np.linspace(-lim, lim, 10))
+    m.add_density_grid(np.full(m.grid.shape, 3e-19), dust)
+    s = m.add_point_source()
+    s.luminosity = lsun
+    s.temperature = 6000.0
+    sed = m.add_peeled_images(sed=True, image=False)
+    sed.set_viewing_angles([90.0], [0.0])
+    sed.set_aperture_radii(1, lim * 10, lim * 10)
+    sed.set_stokes(True)
+    m.set_monochromatic(True, wavelengths=[1.0])
+    sed.set_wavelength_index_range(0, 0)
+    m.set_n_photons(initial=0, imaging_sources=30000, imaging_dust=0)
+    m.set_n_initial_iterations(0)
+    m.write(str(tmp_path / 'monostokes.rtin'))
+    out = m.run()
+    I = out.get_sed(inclination=0, aperture=-1, stokes='I').val
+    Q = out.get_sed(inclination=0, aperture=-1, stokes='Q').val
+    linpol = out.get_sed(inclination=0, aperture=-1, stokes='linpol').val
+    assert I.sum() > 0
+    # scattering off 90-degree geometry with p_lin=1 must polarize
+    assert abs(float(np.sum(Q))) > 0
+    assert 0 < float(linpol[0]) <= 1.0
+    out.close()
