@@ -285,7 +285,25 @@ class ModelOutput(FreezableClass):
         if inside_observer and distance is not None:
             raise ValueError("Cannot specify distance for inside observers")
 
-        scale, units = self._flux_scale(nu, units, distance, inside_observer)
+        if units == 'MJy/sr':
+            # surface brightness: divide by the pixel solid angle
+            # (ref model_output.py:794-797; 1e17 = 1e23 Jy / 1e6 MJy)
+            if distance is None and not inside_observer:
+                raise ValueError("Need to specify distance= for MJy/sr")
+            nx = flux.shape[-2]
+            ny = flux.shape[-3]
+            dx = (float(dset.attrs['xmax']) - float(dset.attrs['xmin'])) / nx
+            dy = (float(dset.attrs['ymax']) - float(dset.attrs['ymin'])) / ny
+            if inside_observer:
+                # limits are angles in degrees on the sky
+                pix_area_sr = np.radians(abs(dx)) * np.radians(abs(dy))
+                scale = 1.e17 / nu / pix_area_sr
+            else:
+                pix_area_sr = abs(dx) * abs(dy) / distance ** 2
+                scale = 1.e17 / nu / pix_area_sr / (4.0 * pi * distance ** 2)
+        else:
+            scale, units = self._flux_scale(nu, units, distance,
+                                            inside_observer)
         if stokes in STOKESD:
             flux = flux * scale
             if uncertainties:
