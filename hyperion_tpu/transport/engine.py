@@ -119,6 +119,22 @@ def sample_scattering_mu(dt, dust_id, nu, key):
     return sample_quantile_rows(dt.mu_q, rows, xi)
 
 
+def _select_col(mat, sel):
+    """mat[i, sel[i]] for a (B, n) matrix with small n.
+
+    TPU gathers serialize per element (~10 ns/lane even from tiny tables);
+    for the per-dust axis (n <= 8) a compare-and-sum over the columns is a
+    pure VPU fusion and costs a few hundred elementwise ops instead."""
+    n = mat.shape[-1]
+    if n == 1:
+        return mat[:, 0]
+    if n <= 8:
+        cols = jnp.arange(n, dtype=sel.dtype)
+        return jnp.sum(jnp.where(sel[:, None] == cols[None, :], mat, 0),
+                       axis=-1)
+    return jnp.take_along_axis(mat, sel[:, None], axis=-1)[:, 0]
+
+
 def select_dust(key, chi, density_rows):
     """Pick the interacting dust population with probability ∝ chi_d * rho_d
     (ref: select_dust_chi_rho, grid_physics_3d.f90:87-109)."""
@@ -153,6 +169,48 @@ def make_lucy_step(geometry, dt, st, density, jnu_var_id, jnu_var_frac,
     n_cells = density.shape[1]
     spec_on = spec_bins is not None
     n_bins = int(spec_bins.shape[0]) - 1 if spec_on else 0
+
+    # ---- packed per-cell lookup table -----------------------------------
+    # TPU gathers serialize per lane (~10 ns each) no matter how little data
+    # they move, and a row gather of K contiguous floats costs *less* than a
+    # single scalar gather (measured on v5e: 0.67 ms scalar vs 0.24 ms for
+    # 8-wide rows at B=65536). Every per-cell quantity the step body needs
+    # is packed into one (n_cells, K) table read by ONE row gather per step.
+    # jnu_var_id values are < n_var << 2^24, so they round-trip exactly
+    # through the f32 table.
+    _cols = [density.T, jnu_var_id.T.astype(dtype),
+             jnu_var_frac.T.astype(dtype)]
+    if mrw is not None:
+        _cols.append(mrw.alpha_inv_planck[:, None].astype(dtype))
+        _cols.append(mrw.kappa_planck.T.astype(dtype))
+    # Geometries that can express their per-cell wall bounds as packed
+    # columns ride in the same row gather (saves ~6 scalar gathers/step)
+    use_rows = hasattr(geometry, 'wall_columns')
+    wall_off = sum(c.shape[1] for c in _cols)
+    if use_rows:
+        _cols.append(geometry.wall_columns().astype(dtype))
+    cell_tab = jnp.concatenate(_cols, axis=1)
+
+    # ---- combined interaction quantile table ----------------------------
+    # A lane either absorbs (needs an emission-nu draw from jnu_q) or
+    # scatters (needs a mu draw from mu_q) — never both, so both inversions
+    # share ONE table lookup per step (quantile gathers are ~1 ms each at
+    # B=131072; this halves them). The cosine-warp knot grids nest when
+    # (K_em-1) is a multiple of (K_mu-1) (257/129 by default), and index-
+    # linear refinement reproduces the runtime piecewise-linear inversion
+    # EXACTLY, so merging changes no sampled value.
+    K_em = int(dt.jnu_q.shape[1])
+    K_mu = int(dt.mu_q.shape[1])
+    n_em_rows = int(dt.jnu_q.shape[0])
+    comb_q = None
+    if K_mu >= 2 and (K_em - 1) % (K_mu - 1) == 0:
+        f_up = (K_em - 1) // (K_mu - 1)
+        pos = jnp.arange(K_em, dtype=dtype) / f_up
+        j_up = jnp.clip(pos.astype(jnp.int32), 0, K_mu - 2)
+        fr_up = pos - j_up.astype(dtype)
+        mu_up = dt.mu_q[:, j_up] * (1.0 - fr_up)[None, :] + \
+            dt.mu_q[:, j_up + 1] * fr_up[None, :]
+        comb_q = jnp.concatenate([dt.jnu_q, mu_up], axis=0)
 
     from .stable import emit_packets, nearest_source_intersection
 
@@ -262,99 +320,140 @@ def make_lucy_step(geometry, dt, st, density, jnu_var_id, jnu_var_frac,
             uid_counter=uid_base + n_new.astype(uid_base.dtype))
 
     def step(carry):
-        carry = refill(carry)
+        # Refill is gated: it costs a full emission pass (spectrum sampling,
+        # find_cell, opacity interpolation) over ALL lanes, so it only runs
+        # when >= 1/4 of the batch is refillable (or nothing is alive, or a
+        # re-absorbed photon waits for its source re-emission). lax.cond
+        # executes one branch on TPU, so skipped steps pay nothing.
+        p0 = carry.packets
+        n_lanes = p0.alive.shape[0]
+        n_alive = jnp.sum(p0.alive.astype(jnp.int32))
+        need = (carry.budget > 0) & \
+            ((n_alive * 4 <= 3 * n_lanes) | (n_alive == 0))
+        if reabs_on:
+            need = need | jnp.any(p0.reemit_src >= 0)
+        carry = jax.lax.cond(need, refill, lambda c: c, carry)
+
         p = carry.packets
         key, k_check, k_dust, k_coin, k_nu, k_dir, k_mu, k_phi, k_tau = \
             jax.random.split(carry.key, 9)
 
         active = p.alive
         cell_safe = jnp.where(p.cell >= 0, p.cell, 0)
+        # ONE row gather serves every per-cell lookup below. All consumers
+        # (deposit, interaction, MRW trigger) exclude lanes whose cell
+        # changes within this step, so the row cannot go stale.
+        row = cell_tab[cell_safe]
+        rho_rows = row[:, 0:n_dust]
+        vid_rows = row[:, n_dust:2 * n_dust]
+        vfrac_rows = row[:, 2 * n_dust:3 * n_dust]
+        wrows = row[:, wall_off:] if use_rows else None
 
         # --- Modified Random Walk (ref iter_lucy.f90:138-152) ---
         if mrw is not None:
             k_mrw1, k_mrw2, k_mrw3, k_mrw4, k_mrw5 = jax.random.split(
                 jax.random.fold_in(key, 17), 5)
-            d_close = geometry.closest_wall_distance(cell_safe, p.x, p.y, p.z)
-            tau_close = mrw.alpha_inv_planck[cell_safe] * d_close
+            alpha_inv = row[:, 3 * n_dust]
+            kappa_p_rows = row[:, 3 * n_dust + 1:3 * n_dust + 1 + n_dust]
+            if use_rows:
+                d_close = geometry.closest_wall_distance_rows(
+                    wrows, cell_safe, p.x, p.y, p.z)
+            else:
+                d_close = geometry.closest_wall_distance(
+                    cell_safe, p.x, p.y, p.z)
+            tau_close = alpha_inv * d_close
             mrw_now = active & (p.n_inter >= 1) & (tau_close > mrw.gamma)
 
-            y = sample_min09(mrw, k_mrw1, p.x.shape, dtype)
-            # ct = -ln(y) * 3 * alpha_inv_planck * (R0/pi)^2 (Min+09 eq. 8)
-            ct = -jnp.log(jnp.maximum(y, 1e-30)) * 3.0 * \
-                mrw.alpha_inv_planck[cell_safe] * (d_close / jnp.pi) ** 2
-            # deposit ct * kappa_planck * E per dust (Min+09 eq. 9)
-            rho_rows_m = density[:, cell_safe].T
-            dep_idx_m = jnp.where(mrw_now, cell_safe, n_cells)
-            energy_sum_m = carry.energy_sum
-            energy_spec_m = carry.energy_sum_spec
-            for d in range(n_dust):
-                dep = jnp.where(mrw_now & (rho_rows_m[:, d] > 0.0),
-                                ct * mrw.kappa_planck[d, cell_safe] * p.energy,
-                                0.0)
-                energy_sum_m = energy_sum_m.at[d, dep_idx_m].add(dep,
-                                                                 mode='drop')
-                if spec_on and spec_bin_frac is not None:
-                    # distribute over bins by local emissivity, linearly
-                    # interpolated between the two bracketing states
-                    vid = jnu_var_id[d, cell_safe]
-                    vf = jnu_var_frac[d, cell_safe]
-                    row0 = (d * dt.n_var + vid) * n_bins
-                    row1 = (d * dt.n_var +
-                            jnp.minimum(vid + 1, dt.n_var - 1)) * n_bins
-                    fr_flat = spec_bin_frac.reshape(-1)
-                    for b in range(n_bins):
-                        fb = (1.0 - vf) * fr_flat[row0 + b] + \
-                            vf * fr_flat[row1 + b]
-                        energy_spec_m = energy_spec_m.at[
-                            d, b, dep_idx_m].add(dep * fb, mode='drop')
-            carry = carry._replace(energy_sum=energy_sum_m,
-                                   energy_sum_spec=energy_spec_m)
-            # jump to the sphere surface with a fresh isotropic direction
-            jx, jy, jz = isotropic_direction(k_mrw2, p.x.shape, dtype)
-            nkx, nky, nkz = isotropic_direction(k_mrw3, p.x.shape, dtype)
-            x_m = p.x + d_close * jx
-            y_m = p.y + d_close * jy
-            z_m = p.z + d_close * jz
-            # resample frequency from the local b_nu emissivity
-            d_sel_m = select_dust(k_mrw4, p.chi, rho_rows_m)
-            nu_m = sample_emission_nu(dt, d_sel_m,
-                                      jnu_var_id[d_sel_m, cell_safe],
-                                      jnu_var_frac[d_sel_m, cell_safe],
-                                      k_mrw5, use_bnu=True)
-            chi_m, kappa_m, alb_m = update_optical_constants(dt, nu_m)
-            n_mrw_new = p.n_mrw + mrw_now.astype(jnp.int32)
-            killed_mrw = mrw_now & (n_mrw_new > config['n_mrw_max'])
-            # the jump sphere touches the nearest wall: relocate with the
-            # fresh direction so tangent-point landings pick the right side
-            cell_rm = geometry.find_cell(x_m, y_m, z_m, nkx, nky, nkz)
-            cell_m = jnp.where(mrw_now & (cell_rm != ESCAPED), cell_rm,
-                               p.cell)
-            p = p._replace(
-                cell=cell_m,
-                x=jnp.where(mrw_now, x_m, p.x),
-                y=jnp.where(mrw_now, y_m, p.y),
-                z=jnp.where(mrw_now, z_m, p.z),
-                kx=jnp.where(mrw_now, nkx, p.kx),
-                ky=jnp.where(mrw_now, nky, p.ky),
-                kz=jnp.where(mrw_now, nkz, p.kz),
-                nu=jnp.where(mrw_now, nu_m, p.nu),
-                chi=jnp.where(mrw_now[:, None], chi_m, p.chi),
-                kappa=jnp.where(mrw_now[:, None], kappa_m, p.kappa),
-                albedo=jnp.where(mrw_now[:, None], alb_m, p.albedo),
-                n_mrw=n_mrw_new,
-                alive=p.alive & ~killed_mrw)
-            carry = carry._replace(
-                killed_int=carry.killed_int +
-                jnp.sum(killed_mrw.astype(carry.killed_int.dtype)))
+            def mrw_branch(ops):
+                carry, p = ops
+                y = sample_min09(mrw, k_mrw1, p.x.shape, dtype)
+                # ct = -ln(y)*3*alpha_inv_planck*(R0/pi)^2 (Min+09 eq. 8)
+                ct = -jnp.log(jnp.maximum(y, 1e-30)) * 3.0 * \
+                    alpha_inv * (d_close / jnp.pi) ** 2
+                # deposit ct * kappa_planck * E per dust (Min+09 eq. 9)
+                rho_rows_m = rho_rows
+                dep_idx_m = jnp.where(mrw_now, cell_safe, n_cells)
+                energy_sum_m = carry.energy_sum
+                energy_spec_m = carry.energy_sum_spec
+                for d in range(n_dust):
+                    dep = jnp.where(mrw_now & (rho_rows_m[:, d] > 0.0),
+                                    ct * kappa_p_rows[:, d] * p.energy,
+                                    0.0)
+                    energy_sum_m = energy_sum_m.at[d, dep_idx_m].add(
+                        dep, mode='drop')
+                    if spec_on and spec_bin_frac is not None:
+                        # distribute over bins by local emissivity, linearly
+                        # interpolated between the two bracketing states
+                        vid = vid_rows[:, d].astype(jnp.int32)
+                        vf = vfrac_rows[:, d]
+                        row0 = (d * dt.n_var + vid) * n_bins
+                        row1 = (d * dt.n_var +
+                                jnp.minimum(vid + 1, dt.n_var - 1)) * n_bins
+                        fr_flat = spec_bin_frac.reshape(-1)
+                        for b in range(n_bins):
+                            fb = (1.0 - vf) * fr_flat[row0 + b] + \
+                                vf * fr_flat[row1 + b]
+                            energy_spec_m = energy_spec_m.at[
+                                d, b, dep_idx_m].add(dep * fb, mode='drop')
+                carry = carry._replace(energy_sum=energy_sum_m,
+                                       energy_sum_spec=energy_spec_m)
+                # jump to the sphere surface w/ a fresh isotropic direction
+                jx, jy, jz = isotropic_direction(k_mrw2, p.x.shape, dtype)
+                nkx, nky, nkz = isotropic_direction(k_mrw3, p.x.shape, dtype)
+                x_m = p.x + d_close * jx
+                y_m = p.y + d_close * jy
+                z_m = p.z + d_close * jz
+                # resample frequency from the local b_nu emissivity
+                d_sel_m = select_dust(k_mrw4, p.chi, rho_rows_m)
+                nu_m = sample_emission_nu(dt, d_sel_m,
+                                          _select_col(vid_rows, d_sel_m)
+                                          .astype(jnp.int32),
+                                          _select_col(vfrac_rows, d_sel_m),
+                                          k_mrw5, use_bnu=True)
+                chi_m, kappa_m, alb_m = update_optical_constants(dt, nu_m)
+                n_mrw_new = p.n_mrw + mrw_now.astype(jnp.int32)
+                killed_mrw = mrw_now & (n_mrw_new > config['n_mrw_max'])
+                # the jump sphere touches the nearest wall: relocate with
+                # the fresh direction so tangent landings pick the right
+                # side
+                cell_rm = geometry.find_cell(x_m, y_m, z_m, nkx, nky, nkz)
+                cell_m = jnp.where(mrw_now & (cell_rm != ESCAPED), cell_rm,
+                                   p.cell)
+                p = p._replace(
+                    cell=cell_m,
+                    x=jnp.where(mrw_now, x_m, p.x),
+                    y=jnp.where(mrw_now, y_m, p.y),
+                    z=jnp.where(mrw_now, z_m, p.z),
+                    kx=jnp.where(mrw_now, nkx, p.kx),
+                    ky=jnp.where(mrw_now, nky, p.ky),
+                    kz=jnp.where(mrw_now, nkz, p.kz),
+                    nu=jnp.where(mrw_now, nu_m, p.nu),
+                    chi=jnp.where(mrw_now[:, None], chi_m, p.chi),
+                    kappa=jnp.where(mrw_now[:, None], kappa_m, p.kappa),
+                    albedo=jnp.where(mrw_now[:, None], alb_m, p.albedo),
+                    n_mrw=n_mrw_new,
+                    alive=p.alive & ~killed_mrw)
+                carry = carry._replace(
+                    killed_int=carry.killed_int +
+                    jnp.sum(killed_mrw.astype(carry.killed_int.dtype)))
+                return carry, p
+
+            # the whole diffusion move is gated on any lane triggering it —
+            # optically thin stretches of an iteration pay nothing for MRW
+            carry, p = jax.lax.cond(jnp.any(mrw_now), mrw_branch,
+                                    lambda ops: ops, (carry, p))
             # lanes that just did an MRW step skip normal propagation
             active = p.alive & ~mrw_now
 
         # --- distance to next wall ---
-        t_wall, next_cell, ax, wall_coord = geometry.find_wall(
-            cell_safe, p.x, p.y, p.z, p.kx, p.ky, p.kz)
+        if use_rows:
+            t_wall, next_cell, ax, wall_coord = geometry.find_wall_rows(
+                wrows, cell_safe, p.x, p.y, p.z, p.kx, p.ky, p.kz)
+        else:
+            t_wall, next_cell, ax, wall_coord = geometry.find_wall(
+                cell_safe, p.x, p.y, p.z, p.kx, p.ky, p.kz)
 
         # --- optical depth through the cell ---
-        rho_rows = density[:, cell_safe].T            # (B, n_dust)
         chi_rho = jnp.sum(p.chi * rho_rows, axis=-1)  # (B,)
         tau_wall = chi_rho * t_wall
         hits_wall = (tau_wall < p.tau) | (chi_rho <= 0.0)
@@ -425,18 +524,36 @@ def make_lucy_step(geometry, dt, st, density, jnu_var_id, jnu_var_frac,
         # --- interaction (absorb+re-emit or scatter) ---
         interacting = moving & ~hits_wall
         d_sel = select_dust(k_dust, p.chi, rho_rows)
-        alb = jnp.take_along_axis(p.albedo, d_sel[:, None], axis=-1)[:, 0]
+        alb = _select_col(p.albedo, d_sel)
         coin = jax.random.uniform(k_coin, alb.shape, dtype=dtype)
         scatter = coin <= alb
 
         # absorption -> re-emission with frequency from local emissivity
-        var_id = jnu_var_id[d_sel, cell_safe]
-        var_frac = jnu_var_frac[d_sel, cell_safe]
-        nu_em = sample_emission_nu(dt, d_sel, var_id, var_frac, k_nu)
+        var_id = _select_col(vid_rows, d_sel).astype(jnp.int32)
+        var_frac = _select_col(vfrac_rows, d_sel)
+        if comb_q is not None:
+            # one shared quantile inversion: emission-nu row for absorbing
+            # lanes, scattering-mu row for scattering lanes
+            k_bin, k_xi = jax.random.split(k_nu)
+            u_bin = jax.random.uniform(k_bin, d_sel.shape,
+                                       dtype=comb_q.dtype)
+            v_bin = var_id + (u_bin < var_frac).astype(var_id.dtype)
+            em_rows = d_sel * dt.n_var + jnp.minimum(v_bin, dt.n_var - 1)
+            n_nu_tab = dt.nu.shape[1]
+            inu = jnp.clip(searchsorted_rows(dt.nu, d_sel, p.nu) - 1,
+                           0, n_nu_tab - 1)
+            mu_rows = n_em_rows + d_sel * n_nu_tab + inu
+            rows_c = jnp.where(scatter, mu_rows, em_rows)
+            xi_c = jax.random.uniform(k_xi, d_sel.shape, dtype=comb_q.dtype)
+            val_c = sample_quantile_rows(comb_q, rows_c, xi_c)
+            nu_em = jnp.exp2(val_c)
+            mu_s = val_c
+        else:
+            nu_em = sample_emission_nu(dt, d_sel, var_id, var_frac, k_nu)
+            mu_s = sample_scattering_mu(dt, d_sel, p.nu, k_mu)
         ex, ey, ez = isotropic_direction(k_dir, p.nu.shape, dtype)
 
         # scattering -> deflect by sampled mu
-        mu_s = sample_scattering_mu(dt, d_sel, p.nu, k_mu)
         phi_s = jax.random.uniform(k_phi, p.nu.shape, dtype=dtype,
                                    maxval=2 * jnp.pi)
         sx, sy, sz = rotate_direction(p.kx, p.ky, p.kz, mu_s, phi_s)
@@ -461,7 +578,14 @@ def make_lucy_step(geometry, dt, st, density, jnu_var_id, jnu_var_frac,
         # (grid_geometry_*:adjust_wall); here the direction-aware find_cell
         # IS the on-wall disambiguation, so one relocation per interaction
         # restores the invariant cell == cell_containing(x, direction).
-        cell_re = geometry.find_cell(x, y, z, kx, ky, kz)
+        # Geometries with packed wall rows do this from the cell's own
+        # bounds (an interacting packet is inside its cell, at worst exactly
+        # on a bound) instead of a from-scratch locate.
+        if use_rows:
+            cell_re = geometry.relocate_rows(wrows, cell_safe, x, y, z,
+                                             kx, ky, kz)
+        else:
+            cell_re = geometry.find_cell(x, y, z, kx, ky, kz)
         cell = jnp.where(interacting & (cell_re != ESCAPED), cell_re, cell)
 
         # new optical depth for lanes that interacted
@@ -602,3 +726,102 @@ def lucy_iteration_impl(geometry, dt, st, density, jnu_var_id, jnu_var_frac,
 run_lucy_iteration = partial(jax.jit,
                              static_argnames=('batch_size', 'config_tuple'))(
     lucy_iteration_impl)
+
+
+def _init_lucy_carry(dt, density, key, n_photons, batch_size, spec_bins):
+    n_dust = dt.n_dust
+    n_cells = density.shape[1]
+    dtype = density.dtype
+    B = batch_size
+    n_bins = int(spec_bins.shape[0]) - 1 if spec_bins is not None else 0
+    itype = jnp.int64 if jax.config.jax_enable_x64 else jnp.int32
+    zeros = lambda *s: jnp.zeros(s, dtype=dtype)
+    packets = PacketState(
+        x=zeros(B), y=zeros(B), z=zeros(B),
+        kx=zeros(B), ky=zeros(B), kz=jnp.ones((B,), dtype=dtype),
+        nu=jnp.ones((B,), dtype=dtype), energy=zeros(B),
+        cell=jnp.zeros((B,), dtype=jnp.int32),
+        tau=zeros(B), n_inter=jnp.zeros((B,), dtype=jnp.int32),
+        n_mrw=jnp.zeros((B,), dtype=jnp.int32),
+        n_reabs=jnp.zeros((B,), dtype=jnp.int32),
+        reemit_src=jnp.full((B,), -1, dtype=jnp.int32),
+        uid=jnp.full((B,), -1, dtype=jnp.int32),
+        alive=jnp.zeros((B,), dtype=bool),
+        chi=zeros(B, n_dust), kappa=zeros(B, n_dust),
+        albedo=zeros(B, n_dust))
+    return LucyCarry(
+        packets=packets, key=key,
+        budget=jnp.asarray(n_photons, dtype=itype),
+        energy_current=jnp.asarray(0.0, dtype=dtype),
+        energy_sum=jnp.zeros((n_dust, n_cells), dtype=dtype),
+        energy_sum_spec=jnp.zeros((n_dust, n_bins, n_cells), dtype=dtype),
+        n_photons_cell=jnp.zeros((n_cells,), dtype=itype),
+        last_uid_cell=jnp.full((n_cells + 1,), -2, dtype=jnp.int32),
+        uid_counter=jnp.asarray(0, dtype=itype),
+        killed_int=jnp.asarray(0, dtype=itype),
+        killed_geo=jnp.asarray(0, dtype=itype),
+        n_steps=jnp.asarray(0, dtype=itype))
+
+
+@partial(jax.jit, static_argnames=('config_tuple',))
+def _lucy_segment(geometry, dt, st, density, jnu_var_id, jnu_var_frac,
+                  carry, limit, config_tuple, mrw=None, se_rho=None,
+                  spec_bins=None, spec_bin_frac=None):
+    """Run the Lucy while_loop up to ``limit`` total steps and report
+    whether more work remains. Bounding each device dispatch keeps any
+    single XLA execution short (long-running dispatches trip RPC deadlines
+    on remote/tunneled TPU runtimes and stall Ctrl-C locally)."""
+    config = dict(config_tuple)
+    step = make_lucy_step(geometry, dt, st, density, jnu_var_id,
+                          jnu_var_frac, config, mrw=mrw, se_rho=se_rho,
+                          spec_bins=spec_bins, spec_bin_frac=spec_bin_frac)
+    reabs_on = bool(config.get('source_intersect', False))
+
+    def unfinished(c):
+        live = jnp.any(c.packets.alive)
+        if reabs_on:
+            live = live | jnp.any(c.packets.reemit_src >= 0)
+        return (c.budget > 0) | live
+
+    carry = jax.lax.while_loop(
+        lambda c: unfinished(c) & (c.n_steps < limit), step, carry)
+    more = unfinished(carry) & (carry.n_steps < config['max_steps'])
+    return carry, more
+
+
+def run_lucy_iteration_segmented(geometry, dt, st, density, jnu_var_id,
+                                 jnu_var_frac, key, n_photons, batch_size,
+                                 config_tuple, mrw=None, se_rho=None,
+                                 spec_bins=None, spec_bin_frac=None,
+                                 seg_steps=None):
+    """Same contract as run_lucy_iteration, but the while_loop is dispatched
+    in host-driven segments of ``seg_steps`` steps (default 2048, env
+    override HYPERION_TPU_SEG_STEPS). One scalar fetch per segment decides
+    continuation; state stays on device between dispatches."""
+    import os
+    if seg_steps is None:
+        seg_steps = int(os.environ.get('HYPERION_TPU_SEG_STEPS', '2048'))
+    config = dict(config_tuple)
+    max_steps = config['max_steps']
+    carry = _init_lucy_carry(dt, density, key, n_photons, batch_size,
+                             spec_bins)
+    reabs_on = bool(config.get('source_intersect', False))
+    steps_done = 0
+    while True:
+        limit = min(steps_done + seg_steps, max_steps)
+        carry, more = _lucy_segment(geometry, dt, st, density, jnu_var_id,
+                                    jnu_var_frac, carry, limit,
+                                    config_tuple, mrw=mrw, se_rho=se_rho,
+                                    spec_bins=spec_bins,
+                                    spec_bin_frac=spec_bin_frac)
+        steps_done = limit
+        if not bool(more) or steps_done >= max_steps:
+            break
+    killed_int = carry.killed_int + jnp.sum(
+        carry.packets.alive.astype(carry.killed_int.dtype))
+    if reabs_on:
+        killed_int = killed_int + jnp.sum(
+            (carry.packets.reemit_src >= 0).astype(killed_int.dtype))
+    return (carry.energy_sum, carry.energy_current, carry.n_photons_cell,
+            killed_int, carry.killed_geo, carry.n_steps,
+            carry.energy_sum_spec)

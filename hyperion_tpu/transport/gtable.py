@@ -148,6 +148,74 @@ class CartesianGeometry:
         z = jnp.where(crossed & (ax == 2), wall_coord, z)
         return x, y, z
 
+    # ---- packed-row fast path -------------------------------------------
+    # TPU gathers serialize per lane, so the transport step packs each
+    # cell's six wall bounds into its packed-cell-table row (one row gather
+    # replaces the six scalar wall gathers above). The *_rows variants
+    # reproduce find_wall / relocation / closest-wall-distance from those
+    # bounds with pure elementwise arithmetic.
+
+    def wall_columns(self):
+        """(n_cells, 6) [xlo, xhi, ylo, yhi, zlo, zhi] per flat cell."""
+        n1, n2, n3 = self.n1, self.n2, self.n3
+        i1 = jnp.arange(n1 * n2 * n3, dtype=jnp.int32) % n1
+        i2 = (jnp.arange(n1 * n2 * n3, dtype=jnp.int32) // n1) % n2
+        i3 = jnp.arange(n1 * n2 * n3, dtype=jnp.int32) // (n1 * n2)
+        return jnp.stack([self.xw[i1], self.xw[i1 + 1],
+                          self.yw[i2], self.yw[i2 + 1],
+                          self.zw[i3], self.zw[i3 + 1]], axis=1)
+
+    def find_wall_rows(self, rows, cell, x, y, z, kx, ky, kz):
+        """find_wall using the packed (B, 6) wall-bound rows — no gathers."""
+        i1, i2, i3 = self.decode(cell)
+        big = jnp.asarray(jnp.finfo(x.dtype).max, dtype=x.dtype)
+
+        def axis(lo, hi, p, k):
+            wall = jnp.where(k > 0, hi, lo)
+            t = jnp.where(k != 0.0, jnp.maximum((wall - p) / k, 0.0), big)
+            return t, wall
+
+        t1, w1 = axis(rows[:, 0], rows[:, 1], x, kx)
+        t2, w2 = axis(rows[:, 2], rows[:, 3], y, ky)
+        t3, w3 = axis(rows[:, 4], rows[:, 5], z, kz)
+        t = jnp.minimum(jnp.minimum(t1, t2), t3)
+        ax = jnp.where(t == t1, 0, jnp.where(t == t2, 1, 2))
+        step1 = jnp.where(kx > 0, 1, -1).astype(jnp.int32)
+        step2 = jnp.where(ky > 0, 1, -1).astype(jnp.int32)
+        step3 = jnp.where(kz > 0, 1, -1).astype(jnp.int32)
+        j1 = jnp.where(ax == 0, i1 + step1, i1)
+        j2 = jnp.where(ax == 1, i2 + step2, i2)
+        j3 = jnp.where(ax == 2, i3 + step3, i3)
+        inside = (j1 >= 0) & (j1 < self.n1) & (j2 >= 0) & (j2 < self.n2) & \
+                 (j3 >= 0) & (j3 < self.n3)
+        next_cell = jnp.where(inside, self.encode(j1, j2, j3), ESCAPED)
+        wall_coord = jnp.where(ax == 0, w1, jnp.where(ax == 1, w2, w3))
+        return t, next_cell, ax, wall_coord
+
+    def relocate_rows(self, rows, cell, x, y, z, kx, ky, kz):
+        """Direction-aware on-wall re-disambiguation after a direction
+        change, from the packed bounds (replaces a full find_cell: a packet
+        that interacted is inside its cell, except exactly on a bound where
+        the new direction may select the neighbour — ref adjust_wall)."""
+        i1, i2, i3 = self.decode(cell)
+
+        def axis(i, lo, hi, p, k, n):
+            i = jnp.where((p == hi) & (k > 0), i + 1, i)
+            i = jnp.where((p == lo) & (k < 0), i - 1, i)
+            return i, (i >= 0) & (i < n)
+
+        j1, in1 = axis(i1, rows[:, 0], rows[:, 1], x, kx, self.n1)
+        j2, in2 = axis(i2, rows[:, 2], rows[:, 3], y, ky, self.n2)
+        j3, in3 = axis(i3, rows[:, 4], rows[:, 5], z, kz, self.n3)
+        inside = in1 & in2 & in3
+        return jnp.where(inside, self.encode(j1, j2, j3), ESCAPED)
+
+    def closest_wall_distance_rows(self, rows, cell, x, y, z):
+        d1 = jnp.minimum(x - rows[:, 0], rows[:, 1] - x)
+        d2 = jnp.minimum(y - rows[:, 2], rows[:, 3] - y)
+        d3 = jnp.minimum(z - rows[:, 4], rows[:, 5] - z)
+        return jnp.maximum(jnp.minimum(jnp.minimum(d1, d2), d3), 0.0)
+
 
 def build_cartesian_geometry(grid, dtype=jnp.float32):
     """Build device tables from a CartesianGrid."""

@@ -264,6 +264,138 @@ class SphericalGeometry:
         crossing distance + authoritative cell index provide robustness."""
         return x, y, z
 
+    # ---- packed-row fast path (see gtable.py) ---------------------------
+    # One row gather replaces the ~12 scalar wall-table gathers per step
+    # that TPU would otherwise serialize per lane.
+    # Columns: 0 r_lo, 1 r_hi, 2 r2_lo, 3 r2_hi,
+    #          4 cos_lo, 5 cos2_lo, 6 kind_lo, 7 cos_up, 8 cos2_up,
+    #          9 kind_up, 10 theta_lo, 11 theta_up,
+    #          12 sin_plo, 13 cos_plo, 14 sin_pup, 15 cos_pup
+
+    def wall_columns(self):
+        n = self.n_cells
+        cells = jnp.arange(n, dtype=jnp.int32)
+        i1, i2, i3 = self.decode(cells)
+        theta_w = jnp.arccos(jnp.clip(self.cos_tw, -1.0, 1.0))
+        dtype = self.rw.dtype
+        cols = [self.rw[i1], self.rw[i1 + 1],
+                self.rw2[i1], self.rw2[i1 + 1],
+                self.cos_tw[i2], self.cos2_tw[i2],
+                self.theta_kind[i2].astype(dtype),
+                self.cos_tw[i2 + 1], self.cos2_tw[i2 + 1],
+                self.theta_kind[i2 + 1].astype(dtype),
+                theta_w[i2], theta_w[i2 + 1],
+                self.sin_pw[i3], self.cos_pw[i3],
+                self.sin_pw[i3 + 1], self.cos_pw[i3 + 1]]
+        return jnp.stack(cols, axis=1)
+
+    def find_wall_rows(self, rows, cell, x, y, z, kx, ky, kz):
+        """find_wall with per-cell wall parameters from the packed rows —
+        identical math to find_wall, zero wall-table gathers (the landing
+        relocation still binary-searches, which is cheap)."""
+        i1, i2, i3 = self.decode(cell)
+        dtype = x.dtype
+        big = jnp.asarray(jnp.finfo(dtype).max / 8, dtype=dtype)
+
+        b = x * kx + y * ky + z * kz
+        pp = x * x + y * y + z * z
+        eps = self.t_eps * (jnp.sqrt(pp) + self.rw[1])
+
+        def sphere_crossing(rw2):
+            c = pp - rw2
+            disc = b * b - c
+            ok = disc >= 0.0
+            sq = jnp.sqrt(jnp.maximum(disc, 0.0))
+            t1 = -b - sq
+            t2 = -b + sq
+            t1 = jnp.where(t1 > eps, t1, big)
+            t2 = jnp.where(t2 > eps, t2, big)
+            return jnp.where(ok, jnp.minimum(t1, t2), big)
+
+        t_r_in = jnp.where(rows[:, 2] > 0.0, sphere_crossing(rows[:, 2]), big)
+        t_r_out = sphere_crossing(rows[:, 3])
+
+        def cone_crossing(cw, c2, kind):
+            a_q = c2 - kz * kz
+            b_q = c2 * b - z * kz
+            c_q = c2 * pp - z * z
+            disc = b_q * b_q - a_q * c_q
+            sq = jnp.sqrt(jnp.maximum(disc, 0.0))
+            safe_a = jnp.where(jnp.abs(a_q) > 1e-12, a_q, 1.0)
+            tq1 = (-b_q - sq) / safe_a
+            tq2 = (-b_q + sq) / safe_a
+            t_lin = jnp.where(jnp.abs(b_q) > 1e-300, -0.5 * c_q / b_q, big)
+            lin = jnp.abs(a_q) <= 1e-12
+            tq1 = jnp.where(lin, t_lin, tq1)
+            tq2 = jnp.where(lin, big, tq2)
+            z1 = z + tq1 * kz
+            z2 = z + tq2 * kz
+            ok1 = (disc >= 0.0) & (tq1 > eps) & (z1 * cw >= 0.0)
+            ok2 = (disc >= 0.0) & (tq2 > eps) & (z2 * cw >= 0.0)
+            t_cone = jnp.minimum(jnp.where(ok1, tq1, big),
+                                 jnp.where(ok2, tq2, big))
+            t_mid = jnp.where(kz != 0.0, -z / kz, big)
+            t_mid = jnp.where(t_mid > eps, t_mid, big)
+            return jnp.where(kind == 2, t_mid,
+                             jnp.where(kind == 1, t_cone, big))
+
+        t_t_lo = cone_crossing(rows[:, 4], rows[:, 5], rows[:, 6])
+        t_t_up = cone_crossing(rows[:, 7], rows[:, 8], rows[:, 9])
+
+        def phi_crossing(sw, cw):
+            np_ = -sw * x + cw * y
+            nv = -sw * kx + cw * ky
+            t = jnp.where(jnp.abs(nv) > 1e-300, -np_ / nv, big)
+            xi = x + t * kx
+            yi = y + t * ky
+            on_half = (xi * cw + yi * sw) >= 0.0
+            return jnp.where((t > eps) & on_half, t, big)
+
+        if self.n3 > 1:
+            t_p_lo = phi_crossing(rows[:, 12], rows[:, 13])
+            t_p_up = phi_crossing(rows[:, 14], rows[:, 15])
+        else:
+            t_p_lo = jnp.full_like(x, big)
+            t_p_up = jnp.full_like(x, big)
+
+        ts = jnp.stack([t_r_in, t_r_out, t_t_lo, t_t_up, t_p_lo, t_p_up],
+                       axis=0)
+        which = jnp.argmin(ts, axis=0).astype(jnp.int32)
+        t = jnp.min(ts, axis=0)
+        next_cell = self.find_cell(x + t * kx, y + t * ky, z + t * kz,
+                                   kx, ky, kz)
+        bad = t >= big
+        t = jnp.where(bad, 0.0, t)
+        next_cell = jnp.where(bad, ESCAPED, next_cell)
+        return t, next_cell, which, t
+
+    def relocate_rows(self, rows, cell, x, y, z, kx, ky, kz):
+        """Interaction-point relocation: curved-wall grids re-locate from
+        scratch (the direction nudge in find_cell is the on-wall
+        disambiguation; bounds arithmetic can't reproduce it exactly)."""
+        return self.find_cell(x, y, z, kx, ky, kz)
+
+    def closest_wall_distance_rows(self, rows, cell, x, y, z):
+        r = jnp.sqrt(x * x + y * y + z * z)
+        big = jnp.asarray(jnp.finfo(x.dtype).max / 8, dtype=x.dtype)
+        d = jnp.minimum(jnp.maximum(r - rows[:, 0], 0.0),
+                        jnp.maximum(rows[:, 1] - r, 0.0))
+        cost = jnp.clip(z / jnp.maximum(r, 1e-300), -1.0, 1.0)
+        theta = jnp.arccos(cost)
+        d_lo = jnp.where(rows[:, 6] != 0,
+                         r * jnp.abs(jnp.sin(theta - rows[:, 10])), big)
+        d_up = jnp.where(rows[:, 9] != 0,
+                         r * jnp.abs(jnp.sin(theta - rows[:, 11])), big)
+        d = jnp.minimum(d, jnp.minimum(d_lo, d_up))
+        if self.n3 > 1:
+            w = jnp.sqrt(x * x + y * y)
+            # perpendicular distance to the phi half-planes via the packed
+            # sin/cos: |w sin(phi - phi_w)| = |y cos_w - x sin_w|
+            d_p1 = jnp.abs(y * rows[:, 13] - x * rows[:, 12])
+            d_p2 = jnp.abs(y * rows[:, 15] - x * rows[:, 14])
+            d = jnp.minimum(d, jnp.minimum(d_p1, d_p2))
+        return jnp.maximum(d, 0.0)
+
 
 def build_spherical_geometry(grid, dtype=jnp.float32):
     """Build device tables from a SphericalPolarGrid."""

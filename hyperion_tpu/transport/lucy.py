@@ -271,8 +271,12 @@ def run_lucy(geometry, dt, st, density, key, n_photons, n_iterations,
                     mrw=mrw_tables, se_rho=se_rho, spec_bins=spec_bins_dev,
                     spec_bin_frac=spec_bin_frac_dev)
         else:
+            # segmented dispatch: bounded per-dispatch step count so thick
+            # models never wedge a single XLA execution for minutes
+            from .engine import run_lucy_iteration_segmented
             energy_sum, energy_current, n_photons_cell, killed_int, \
-                killed_geo, n_steps, energy_sum_spec = run_lucy_iteration(
+                killed_geo, n_steps, energy_sum_spec = \
+                run_lucy_iteration_segmented(
                     geometry, dt, st, density, jnu_var_id, jnu_var_frac,
                     k_it, n_photons, batch_size, config_tuple,
                     mrw=mrw_tables, se_rho=se_rho, spec_bins=spec_bins_dev,
