@@ -75,10 +75,22 @@ def _flatten_quantity(grid, quantity):
 
 def _density_array(model, dtype, length_scale):
     """Flatten per-dust densities to (n_dust, n_cells) in ENGINE units:
-    multiplied by the geometry length scale so chi*rho*ds is scale-free."""
+    multiplied by the geometry length scale so chi*rho*ds is scale-free.
+
+    Non-zero densities are floored to an f32-safe tiny value: analytic
+    density profiles produce Gaussian tails down to ~1e-200 g/cm3 which
+    underflow to zero in float32 (TPUs also flush subnormals).  A cell whose
+    density underflows would never receive Lucy deposits — but the Lucy
+    specific-energy estimator is density-independent (sum E*kappa*ds/V, the
+    rho cancels), so such cells carry a physically meaningful radiation-field
+    temperature in the reference (f64 Fortran) and act as Dirichlet anchors
+    for the PDA.  The floor (1e-30 engine units ~ 1e-45 g/cm3) adds
+    negligible optical depth (chi*rho*ds < 1e-25 per grid crossing) while
+    keeping 'has dust' semantics identical to the f64 reference."""
     import jax.numpy as jnp
-    arr = _flatten_quantity(model.grid, 'density')
-    return jnp.asarray(arr * length_scale, dtype=dtype)
+    arr = _flatten_quantity(model.grid, 'density') * length_scale
+    arr = np.where(arr > 0.0, np.maximum(arr, 1e-30), 0.0)
+    return jnp.asarray(arr, dtype=dtype)
 
 
 def _initial_specific_energy(model, n_dust, n_cells, dtype):

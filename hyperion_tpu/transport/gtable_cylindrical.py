@@ -29,6 +29,7 @@ class CylindricalGeometry:
     phi_w: jnp.ndarray     # (n3+1,) wall angles in [0, 2pi]
     volumes: jnp.ndarray
     t_eps: jnp.ndarray
+    eps_floor: jnp.ndarray  # absolute epsilon floor (see _eps)
     n1: int = field(metadata=dict(static=True))
     n2: int = field(metadata=dict(static=True))
     n3: int = field(metadata=dict(static=True))
@@ -47,9 +48,21 @@ class CylindricalGeometry:
     def encode(self, i1, i2, i3):
         return (i3 * self.n2 + i2) * self.n1 + i1
 
+    def _eps(self, w0, z):
+        """On-wall exclusion / disambiguation-nudge distance, scaled to the
+        LOCAL position magnitude (f32 roundoff is ~ulp(coordinate), which
+        shrinks toward the origin).  Auto grids resolve disk rims with
+        micro-cells 1e-4x smaller than the grid (set_cylindrical_polar_
+        grid_auto), so a grid-scaled epsilon would leapfrog them — this was
+        exactly the round-3 Pinte failure mode: eps(t_eps*ww[-1]) was ~100x
+        the rim cell width and stellar packets skipped the first ~15 rim
+        cells.  The absolute floor only matters for positions at the exact
+        origin."""
+        return self.t_eps * (w0 + jnp.abs(z)) + self.eps_floor
+
     def find_cell(self, x, y, z, kx, ky, kz):
         w0 = jnp.sqrt(x * x + y * y)
-        eps = self.t_eps * (w0 + jnp.abs(z) + self.ww[-1])
+        eps = self._eps(w0, z)
         xn = x + eps * kx
         yn = y + eps * ky
         zn = z + eps * kz
@@ -73,7 +86,7 @@ class CylindricalGeometry:
         dtype = x.dtype
         big = jnp.asarray(jnp.finfo(dtype).max / 8, dtype=dtype)
         ww0 = jnp.sqrt(x * x + y * y)
-        eps = self.t_eps * (ww0 + jnp.abs(z) + self.ww[-1])
+        eps = self._eps(ww0, z)
 
         a = kx * kx + ky * ky
         b = x * kx + y * ky
@@ -185,6 +198,11 @@ def build_cylindrical_geometry(grid, dtype=jnp.float32):
     pw = np.asarray(grid.p_wall, float)
     L = float(max(ww.max(), np.abs(zw).max()))
     t_eps = 3e-6 if dtype == jnp.float32 else 1e-12
+    # absolute floor: a fraction of the smallest wall spacing so on-wall
+    # disambiguation still works for packets at the exact origin without
+    # ever jumping a whole (micro-)cell
+    spacings = np.concatenate([np.diff(ww), np.diff(zw)]) / L
+    eps_floor = 0.01 * float(spacings[spacings > 0].min())
     return CylindricalGeometry(
         ww=jnp.asarray(ww / L, dtype=dtype),
         ww2=jnp.asarray((ww / L) ** 2, dtype=dtype),
@@ -194,6 +212,7 @@ def build_cylindrical_geometry(grid, dtype=jnp.float32):
         phi_w=jnp.asarray(pw, dtype=dtype),
         volumes=jnp.asarray(grid.volumes.reshape(-1) / L ** 3, dtype=dtype),
         t_eps=jnp.asarray(t_eps, dtype=dtype),
+        eps_floor=jnp.asarray(eps_floor, dtype=dtype),
         n1=len(ww) - 1, n2=len(zw) - 1, n3=len(pw) - 1,
         length_scale=L,
     )
