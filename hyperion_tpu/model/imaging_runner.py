@@ -24,13 +24,6 @@ def run_imaging(model, out, geometry, dt, st, density, specific_energy,
                                length_scale=geometry.length_scale,
                                n_sources=n_sources, n_dust=n_dust)
               for conf in model.peeled_output]
-    if model.raytracing:
-        for conf, group in zip(model.peeled_output, groups):
-            if group.inside or group.use_filters:
-                raise NotImplementedError(
-                    "raytracing cannot yet be combined with inside observers "
-                    "or filter imaging")
-
     if model._monochromatic:
         _run_imaging_mono(model, out, geometry, dt, st, density,
                           specific_energy, groups, batch_size, dtype,

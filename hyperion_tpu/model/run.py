@@ -101,12 +101,19 @@ def _initial_specific_energy(model, n_dust, n_cells, dtype):
     return None
 
 
-def _write_grid_dataset(group, name, flat, model_grid, compression='gzip'):
+def _write_grid_dataset(group, name, flat, model_grid, compression='gzip',
+                        io_dtype=None):
     """Write a flat (n_cells,) or (n_dust, n_cells) array back in the
     grid's on-disk layout (structured: (ndust, n3, n2, n1); AMR: per
-    level_*/grid_* datasets; voronoi/octree: flat)."""
+    level_*/grid_* datasets; voronoi/octree: flat).
+
+    ``io_dtype``: on-disk float width for physical arrays, from
+    ``set_output_bytes`` (ref grid_io.f90 writes f4 when io_bytes=4,
+    conf_files.py:700)."""
     from ..grid import AMRGrid
     flat = np.asarray(flat)
+    if io_dtype is not None and flat.dtype.kind == 'f':
+        flat = flat.astype(io_dtype)
     if isinstance(model_grid, AMRGrid):
         pos = 0
         for ilevel, level in enumerate(model_grid.levels):
@@ -286,11 +293,15 @@ def run_model(model, filename, batch_size=None, dtype=None, parallel=False):
         def want(setting):
             return setting == 'all' or (setting == 'last' and last)
 
+        io_dtype = np.float32 if getattr(model, 'physics_io_bytes', 8) == 4 \
+            else np.float64
         if want(oc.output_specific_energy):
             _write_grid_dataset(g, 'specific_energy',
-                                itdata['specific_energy'], model.grid)
+                                itdata['specific_energy'], model.grid,
+                                io_dtype=io_dtype)
         if want(oc.output_density):
-            _write_grid_dataset(g, 'density', itdata['density'], model.grid)
+            _write_grid_dataset(g, 'density', itdata['density'], model.grid,
+                                io_dtype=io_dtype)
         if want(oc.output_n_photons):
             _write_grid_dataset(g, 'n_photons', itdata['n_photons'],
                                 model.grid)
@@ -300,7 +311,7 @@ def run_model(model, filename, batch_size=None, dtype=None, parallel=False):
             # grid_generic.f90:68-74)
             _write_grid_dataset(g, 'specific_energy_spectrum',
                                 itdata['specific_energy_spectrum'],
-                                model.grid)
+                                model.grid, io_dtype=io_dtype)
             g.create_dataset('specific_energy_spectrum_bin_edges',
                              data=np.asarray(
                                  model.specific_energy_spectrum_bins, float))

@@ -23,10 +23,14 @@ from .sampling import isotropic_direction, interp_loglog
 
 
 def escape_column_walk(geometry, density, x, y, z, kx, ky, kz, cell, active,
-                       max_steps=100000):
+                       max_steps=100000, t_max=None):
     """Per-dust column densities (engine units) along fixed rays to escape
-    (ref: grid_escape_column_density, grid_propagate_3d.f90:482-584)."""
+    (ref: grid_escape_column_density, grid_propagate_3d.f90:482-584).
+
+    t_max: optional (B,) distance limit — integration stops there instead of
+    at the grid edge (inside observers, ref images_peeled.f90:158-161)."""
     n_dust = density.shape[0]
+    limited = t_max is not None
 
     def cond(c):
         return jnp.any(c['active']) & (c['i'] < max_steps)
@@ -36,39 +40,55 @@ def escape_column_walk(geometry, density, x, y, z, kx, ky, kz, cell, active,
         t_wall, next_cell, ax, wall_coord = geometry.find_wall(
             cell_safe, c['x'], c['y'], c['z'], kx, ky, kz)
         rho_rows = density[:, cell_safe].T          # (B, n_dust)
+        if limited:
+            seg = jnp.minimum(t_wall, c['remaining'])
+            remaining = c['remaining'] - t_wall
+        else:
+            seg = t_wall
+            remaining = c['remaining']
         col = c['col'] + jnp.where(c['active'][:, None],
-                                   rho_rows * t_wall[:, None], 0.0)
+                                   rho_rows * seg[:, None], 0.0)
         x2 = c['x'] + t_wall * kx
         y2 = c['y'] + t_wall * ky
         z2 = c['z'] + t_wall * kz
         x2, y2, z2 = geometry.snap(x2, y2, z2, ax, wall_coord, c['active'])
         cell2 = jnp.where(c['active'], next_cell, c['cell'])
+        active2 = c['active'] & (cell2 != ESCAPED)
+        if limited:
+            active2 = active2 & (remaining > 0.0)
         return dict(x=jnp.where(c['active'], x2, c['x']),
                     y=jnp.where(c['active'], y2, c['y']),
                     z=jnp.where(c['active'], z2, c['z']),
                     cell=cell2, col=col,
-                    active=c['active'] & (cell2 != ESCAPED), i=c['i'] + 1)
+                    active=active2, remaining=remaining, i=c['i'] + 1)
 
     init = dict(x=x, y=y, z=z, cell=cell,
                 col=jnp.zeros(x.shape + (n_dust,), dtype=x.dtype),
-                active=active, i=jnp.asarray(0, dtype=jnp.int32))
+                active=active,
+                remaining=t_max if limited else jnp.zeros_like(x),
+                i=jnp.asarray(0, dtype=jnp.int32))
     out = jax.lax.while_loop(cond, body, init)
     return out['col']
 
 
 class RaytraceTables(NamedTuple):
-    # Source spectra binned onto the image frequency grid, normalized so
-    # sum_j s_ij = 1 per source: (n_sources, n_nu)
+    # Source spectra binned onto the internal frequency grid, normalized so
+    # sum_j s_ij = 1 per source: (n_sources, n_int)
     source_spec: jnp.ndarray
-    # Dust emissivity spectra binned onto the image grid per (dust, var bin),
-    # normalized per row: (n_dust * n_var, n_nu)
+    # Dust emissivity spectra binned onto the internal grid per
+    # (dust, var bin), normalized per row: (n_dust * n_var, n_int)
     dust_spec: jnp.ndarray
-    # Per-dust extinction on the image grid: (n_dust, n_nu)
+    # Per-dust extinction on the internal grid: (n_dust, n_int)
     chi_nu: jnp.ndarray
     # Grid thermal emission: cell luminosities + CDF
     cell_lum: jnp.ndarray     # (n_emit_cells,) == (n_dust * n_cells,)
     cell_cdf: jnp.ndarray
     total_grid_luminosity: jnp.ndarray
+    # Filter folding matrix (n_int, n_chan) mapping the internal spectral
+    # grid onto the group's filter channels (ref images_peeled.f90:264-282);
+    # None for plain log-binned groups, where the internal grid IS the
+    # group's frequency axis.
+    fold: jnp.ndarray = None
 
 
 def _bin_spectrum(nu_src, f_src, nu_edges):
@@ -87,23 +107,53 @@ def _bin_spectrum(nu_src, f_src, nu_edges):
 def build_raytrace_tables(dusts, sources, dt, st, group, specific_energy,
                           density, volumes, dtype, length_scale=1.0):
     """Host-side construction of the binned-spectrum tables for one peel
-    group's frequency grid."""
-    n_nu = group.n_nu
-    lo = float(group.log10_nu_min)
-    hi = float(group.log10_nu_max)
-    nu_edges = np.logspace(lo, hi, n_nu + 1)
-    nu_c = np.sqrt(nu_edges[:-1] * nu_edges[1:])
+    group's frequency grid.
 
-    # sources
+    For filter groups (group.use_filters) the internal spectral grid is the
+    shared filter sampling grid (group.filter_lognu); the attenuated spectra
+    are folded through the transmission table into the n_filt channels at
+    bin time (ref images_peeled.f90:264-282)."""
+    fold = None
+    if group.use_filters:
+        lognu = np.asarray(group.filter_lognu, float)
+        d = lognu[1] - lognu[0]
+        nu_edges = 10.0 ** np.concatenate([[lognu[0] - 0.5 * d],
+                                           lognu + 0.5 * d])
+        nu_c = 10.0 ** lognu
+        lo, hi = np.log10(nu_edges[0]), np.log10(nu_edges[-1])
+        # (n_samp, n_filt): channel = attenuated spectrum @ fold
+        fold = np.asarray(group.filter_tn, float).T
+    else:
+        n_nu = group.n_nu
+        lo = float(group.log10_nu_min)
+        hi = float(group.log10_nu_max)
+        nu_edges = np.logspace(lo, hi, n_nu + 1)
+        nu_c = np.sqrt(nu_edges[:-1] * nu_edges[1:])
+
+    # sources: binned in-range, normalized by the FULL-spectrum energy so a
+    # photon's out-of-range energy is dropped, matching the MC estimator (an
+    # MC photon whose sampled nu falls outside the image range never bins) —
+    # essential for narrow filter bands
+    from ..util.integrate import integrate_loglog
+    from ..util.functions import planck_nu_range
     source_spec = []
     for s in sources:
-        nu_s, fnu_s = s.get_spectrum(nu_range=(10.0 ** lo, 10.0 ** hi))
+        if getattr(s, 'temperature', None) is not None and \
+                getattr(s, 'spectrum', None) is None:
+            # Planck sources need an explicit range: span the whole Planck
+            # function (negligible tails outside planck_nu_range)
+            prange = planck_nu_range(s.temperature)
+            nu_s, fnu_s = s.get_spectrum(nu_range=(prange[0], prange[-1]))
+        else:
+            nu_s, fnu_s = s.get_spectrum()
         spec = _bin_spectrum(nu_s, fnu_s, nu_edges)
-        total = spec.sum()
+        total = integrate_loglog(np.asarray(nu_s, float),
+                                 np.asarray(fnu_s, float))
         source_spec.append(spec / total if total > 0 else spec)
     source_spec = np.array(source_spec)
 
-    # dust emissivities per var bin, binned
+    # dust emissivities per var bin, binned (full-range normalization, same
+    # reasoning as the sources)
     n_var_eff = 60  # coarse var-grid resampling keeps the table small
     dust_spec = []
     var_grids = []
@@ -113,10 +163,10 @@ def build_raytrace_tables(dusts, sources, dt, st, group, specific_energy,
         idx = np.unique(np.linspace(0, len(var) - 1, n_var_eff).astype(int))
         var_grids.append(var[idx])
         for i in idx:
-            spec = _bin_spectrum(np.asarray(em.nu, float),
-                                 np.maximum(np.asarray(em.jnu[:, i], float),
-                                            0.0), nu_edges)
-            total = spec.sum()
+            enu = np.asarray(em.nu, float)
+            jnu = np.maximum(np.asarray(em.jnu[:, i], float), 0.0)
+            spec = _bin_spectrum(enu, jnu, nu_edges)
+            total = integrate_loglog(enu, jnu)
             dust_spec.append(spec / total if total > 0 else spec)
     dust_spec = np.array(dust_spec)
 
@@ -138,7 +188,8 @@ def build_raytrace_tables(dusts, sources, dt, st, group, specific_energy,
     return RaytraceTables(
         source_spec=f(source_spec), dust_spec=f(dust_spec),
         chi_nu=f(chi_nu), cell_lum=f(lum), cell_cdf=f(cdf),
-        total_grid_luminosity=f(total)), var_grids, nu_edges
+        total_grid_luminosity=f(total),
+        fold=None if fold is None else f(fold)), var_grids, nu_edges
 
 
 def build_raytrace_tables_mono(dusts, sources, dt, st, frequencies,
@@ -283,6 +334,15 @@ def raytrace_source_batch_impl(geometry, dt, st, rt, groups, density, key,
     # luminosity-weighted source pick already accounts for L_src/L_tot.
     spec = rt.source_spec[src]  # (B, n_nu)
 
+    def surf_weight(vdx, vdy, vdz):
+        # stellar-surface cosine-law peel weight (4*mu, or the
+        # limb-darkened variant; ref emit_from_sphere_peeloff)
+        mu_s = jnp.maximum(new['snx'] * vdx + new['sny'] * vdy +
+                           new['snz'] * vdz, 0.0)
+        w_surf = jnp.where(new['limb'],
+                           2.0 * (1.5 * mu_s * mu_s + mu_s), 4.0 * mu_s)
+        return jnp.where(new['surf'], w_surf, 1.0)
+
     out = []
     for group in groups:
         sed = jnp.zeros((group.n_view, group.n_ap, group.n_nu, group.n_orig),
@@ -290,23 +350,10 @@ def raytrace_source_batch_impl(geometry, dt, st, rt, groups, density, key,
         img = jnp.zeros((group.n_view, group.n_y, group.n_x, group.n_nu,
                          group.n_orig), dtype=dtype)
         for iv in range(group.n_view):
-            vd = group.view_dir[iv]
-            col = escape_column_walk(geometry, density, new['x'], new['y'],
-                                     new['z'], vd[0], vd[1], vd[2], cell,
-                                     active)
-            # attenuation: exp(-sum_d col_d * chi_d(nu))
-            tau_nu = jnp.einsum('bd,dn->bn', col, rt.chi_nu)
-            # stellar-surface cosine-law peel weight (4*mu, or the
-            # limb-darkened variant; ref emit_from_sphere_peeloff)
-            mu_s = jnp.maximum(new['snx'] * vd[0] + new['sny'] * vd[1] +
-                               new['snz'] * vd[2], 0.0)
-            w_surf = jnp.where(new['limb'],
-                               2.0 * (1.5 * mu_s * mu_s + mu_s), 4.0 * mu_s)
-            w = jnp.where(new['surf'], w_surf, 1.0)
-            flux = spec * jnp.exp(-tau_nu) * w[:, None]
-            flux = jnp.where(active[:, None], flux, 0.0)
-            sed, img = _bin_vector(group, sed, img, iv, new['x'], new['y'],
-                                   new['z'], flux, 0)
+            sed, img = _peel_view_bin(
+                geometry, density, rt, group, iv, new['x'], new['y'],
+                new['z'], cell, active, spec, sed, img, 0,
+                weight_fn=surf_weight)
         out.append((sed, img))
     return out
 
@@ -354,14 +401,10 @@ def raytrace_dust_batch_impl(geometry, dt, rt, var_grids, groups, density,
         img = jnp.zeros((group.n_view, group.n_y, group.n_x, group.n_nu,
                          group.n_orig), dtype=dtype)
         for iv in range(group.n_view):
-            vd = group.view_dir[iv]
-            col = escape_column_walk(geometry, density, x, y, z,
-                                     vd[0], vd[1], vd[2], cell, active)
-            tau_nu = jnp.einsum('bd,dn->bn', col, rt.chi_nu)
-            flux = spec * jnp.exp(-tau_nu)
-            flux = jnp.where(active[:, None], flux, 0.0)
             orig = 1 if group.n_orig > 1 else 0
-            sed, img = _bin_vector(group, sed, img, iv, x, y, z, flux, orig)
+            sed, img = _peel_view_bin(geometry, density, rt, group, iv,
+                                      x, y, z, cell, active, spec, sed, img,
+                                      orig)
         out.append((sed, img))
     return out
 
@@ -412,21 +455,78 @@ def sample_position_in_cell(geometry, cell, key, dtype):
     raise NotImplementedError(type(geometry))
 
 
-def _bin_vector(group, sed, img, iv, x, y, z, flux, orig):
-    """Bin whole-spectrum vectors into the SED/image cubes."""
-    dx = x - group.origin[0]
-    dy = y - group.origin[1]
-    dz = z - group.origin[2]
-    e, n = group.east[iv], group.north[iv]
-    x_img = dx * e[0] + dy * e[1] + dz * e[2]
-    y_img = dx * n[0] + dy * n[1] + dz * n[2]
+def _peel_view_bin(geometry, density, rt, group, iv, x, y, z, cell, active,
+                   spec, sed, img, orig, weight_fn=None):
+    """One (group, view) raytrace peel: column walk, spectral attenuation,
+    optional filter fold, projection, and binning.
 
+    Plane observers project event positions onto the view's image plane;
+    inside observers peel along per-photon directions toward the observer
+    with the column walk cut at the observer distance, apply the
+    1/(4 pi d^2) dilution, and bin by sky angles (ref
+    images_peeled.f90:158-213, 228-282)."""
+    if group.inside:
+        ddx = group.origin[0] - x
+        ddy = group.origin[1] - y
+        ddz = group.origin[2] - z
+        d_obs = jnp.sqrt(ddx ** 2 + ddy ** 2 + ddz ** 2)
+        d_safe = jnp.maximum(d_obs, 1e-30)
+        vdx, vdy, vdz = ddx / d_safe, ddy / d_safe, ddz / d_safe
+        t_max = d_obs
+    else:
+        vd = group.view_dir[iv]
+        vdx = jnp.full_like(x, vd[0])
+        vdy = jnp.full_like(x, vd[1])
+        vdz = jnp.full_like(x, vd[2])
+        t_max = None
+
+    col = escape_column_walk(geometry, density, x, y, z, vdx, vdy, vdz,
+                             cell, active, t_max=t_max)
+    tau_nu = jnp.einsum('bd,dn->bn', col, rt.chi_nu)
+    flux = spec * jnp.exp(-tau_nu)
+    if weight_fn is not None:
+        flux = flux * weight_fn(vdx, vdy, vdz)[:, None]
+    if group.inside:
+        dil = group.inv_area / (4.0 * jnp.pi * d_safe ** 2)
+        flux = flux * dil[:, None]
+    if rt.fold is not None:
+        # fold the internal spectral grid into the filter channels
+        flux = flux @ rt.fold
+    flux = jnp.where(active[:, None], flux, 0.0)
+
+    if group.inside:
+        # sky projection of the (toward-observer) peel direction
+        # (ref images_peeled.f90:176-206; same math as imaging.peel_and_bin)
+        r_hat, e, n = group.view_dir[iv], group.east[iv], group.north[iv]
+        vs_x = vdx * r_hat[0] + vdy * r_hat[1] + vdz * r_hat[2]
+        vs_y = vdx * e[0] + vdy * e[1] + vdz * e[2]
+        vs_z = vdx * n[0] + vdy * n[1] + vdz * n[2]
+        rad2deg = 180.0 / jnp.pi
+        x_img = jnp.arctan2(vs_y, vs_x) * rad2deg
+        y_img = jnp.arctan2(jnp.sqrt(vs_x ** 2 + vs_y ** 2),
+                            vs_z) * rad2deg - 90.0
+        if group.compute_image:
+            x_img = group.xmax + jnp.mod(x_img - group.xmax, 360.0)
+            y_img = group.ymin + jnp.mod(y_img - group.ymin, 360.0)
+    else:
+        dx = x - group.origin[0]
+        dy = y - group.origin[1]
+        dz = z - group.origin[2]
+        e, n = group.east[iv], group.north[iv]
+        x_img = dx * e[0] + dy * e[1] + dz * e[2]
+        y_img = dx * n[0] + dy * n[1] + dz * n[2]
+    return _bin_vector_xy(group, sed, img, iv, x_img, y_img, flux, orig)
+
+
+def _bin_vector_xy(group, sed, img, iv, x_img, y_img, flux, orig):
+    """Bin whole-spectrum vectors into the SED/image cubes by image-plane
+    (or sky-angle) coordinates."""
     if group.compute_sed:
         r_img = jnp.sqrt(x_img ** 2 + y_img ** 2)
         logr = jnp.log10(jnp.maximum(r_img, 1e-300))
         if group.n_ap == 1:
-            ir = jnp.zeros_like(x, dtype=jnp.int32)
-            ok = jnp.ones(x.shape, dtype=bool)
+            ir = jnp.zeros_like(x_img, dtype=jnp.int32)
+            ok = jnp.ones(x_img.shape, dtype=bool)
         else:
             fr = (logr - group.log10_ap_min) / \
                  (group.log10_ap_max - group.log10_ap_min)
