@@ -160,7 +160,9 @@ def build_raytrace_tables(dusts, sources, dt, st, group, specific_energy,
     for d in dusts:
         em = d.emissivities
         var = np.asarray(em.var, float)
-        idx = np.unique(np.linspace(0, len(var) - 1, n_var_eff).astype(int))
+        # exactly n_var_eff rows per dust (duplicates ok) so the flat
+        # (n_dust * n_var_eff, n_nu) table indexes uniformly
+        idx = np.linspace(0, len(var) - 1, n_var_eff).astype(int)
         var_grids.append(var[idx])
         for i in idx:
             enu = np.asarray(em.nu, float)
@@ -170,8 +172,29 @@ def build_raytrace_tables(dusts, sources, dt, st, group, specific_energy,
             dust_spec.append(spec / total if total > 0 else spec)
     dust_spec = np.array(dust_spec)
 
-    # per-dust extinction at bin centers
-    chi_nu = np.array([d.optical_properties.interp_chi_nu(nu_c) for d in dusts])
+    # per-dust extinction: the BIN-AVERAGED chi over each image bin,
+    # integral(chi dnu)/(numax-numin) — NOT chi at the bin center (ref
+    # get_chi_nu_binned, dust_type_4elem.f90:793-818; image bins are up to
+    # a decade wide, and chi varies steeply across them).  Filter groups
+    # use the fine filter sampling grid, where the same average applies.
+    chi_nu = []
+    for d in dusts:
+        op = d.optical_properties
+        dnu = np.asarray(op.nu, float)
+        dchi = np.asarray(op.chi, float)
+        row = np.empty(len(nu_edges) - 1)
+        for j in range(len(row)):
+            lo_e, hi_e = nu_edges[j], nu_edges[j + 1]
+            clo = max(lo_e, dnu[0])
+            chi_ = min(hi_e, dnu[-1])
+            if chi_ > clo:
+                from ..util.integrate import integrate_loglog_subset
+                row[j] = integrate_loglog_subset(dnu, dchi, clo, chi_) / \
+                    (hi_e - lo_e)
+            else:
+                row[j] = op.interp_chi_nu(np.array([nu_c[j]]))[0]
+        chi_nu.append(row)
+    chi_nu = np.array(chi_nu)
 
     # grid thermal luminosity per (dust, cell): L = 4 pi j_int * rho * V
     # where the Lucy relation gives emitted power per unit mass = absorbed
@@ -218,7 +241,9 @@ def build_raytrace_tables_mono(dusts, sources, dt, st, frequencies,
         em = d.emissivities
         var = np.asarray(em.var, float)
         enu = np.asarray(em.nu, float)
-        idx = np.unique(np.linspace(0, len(var) - 1, n_var_eff).astype(int))
+        # exactly n_var_eff rows per dust (duplicates ok) so the flat
+        # (n_dust * n_var_eff, n_nu) table indexes uniformly
+        idx = np.linspace(0, len(var) - 1, n_var_eff).astype(int)
         var_grids.append(var[idx])
         for i in idx:
             jnu = np.maximum(np.asarray(em.jnu[:, i], float), 0.0)
@@ -344,15 +369,21 @@ def raytrace_source_batch_impl(geometry, dt, st, rt, groups, density, key,
         return jnp.where(new['surf'], w_surf, 1.0)
 
     out = []
+    from .imaging import Provenance, origin_index
+    zi = jnp.zeros_like(src)
+    zb = jnp.zeros(src.shape, dtype=bool)
+    prov = Provenance(scattered=zb, reprocessed=zb, source_id=src,
+                      dust_id=zi, n_scat=zi)
     for group in groups:
         sed = jnp.zeros((group.n_view, group.n_ap, group.n_nu, group.n_orig),
                         dtype=dtype)
         img = jnp.zeros((group.n_view, group.n_y, group.n_x, group.n_nu,
                          group.n_orig), dtype=dtype)
+        io = jnp.clip(origin_index(group, prov), 0, group.n_orig - 1)
         for iv in range(group.n_view):
             sed, img = _peel_view_bin(
                 geometry, density, rt, group, iv, new['x'], new['y'],
-                new['z'], cell, active, spec, sed, img, 0,
+                new['z'], cell, active, spec, sed, img, io,
                 weight_fn=surf_weight)
         out.append((sed, img))
     return out
@@ -381,30 +412,47 @@ def raytrace_dust_batch_impl(geometry, dt, rt, var_grids, groups, density,
     cell = flat % n_cells
     x, y, z = sample_position_in_cell(geometry, cell, k_pos, dtype)
 
-    # emissivity spectrum row: (dust, var bin) resampled grid
+    # emissivity spectrum: locate the cell's state on the (resampled) var
+    # grid and interpolate the binned spectra in LOG10 between the two
+    # bracketing var rows (ref get_dust_emissivity,
+    # images_peeled.f90:454-500: log10_j_nu linear interpolation in
+    # jnu_var_frac)
     n_var_eff = rt.dust_spec.shape[0] // density.shape[0]
     e = specific_energy[d_sel, cell]
-    # locate var bin in the coarse grid (shared log-spaced approximation):
-    var0 = var_grids[0]
-    log_lo = jnp.log10(var0[0])
-    log_hi = jnp.log10(var0[-1])
-    frac = (jnp.log10(jnp.clip(e, 10.0 ** log_lo, 10.0 ** log_hi)) - log_lo) \
-        / (log_hi - log_lo)
-    ivar = jnp.clip((frac * (n_var_eff - 1)).astype(jnp.int32), 0,
-                    n_var_eff - 1)
-    spec = rt.dust_spec[d_sel * n_var_eff + ivar]  # (B, n_nu)
+    var_log = jnp.log10(jnp.stack([jnp.asarray(v, dtype=dtype)
+                                   for v in var_grids]))
+    vrows = var_log[d_sel]                        # (B, n_var_eff)
+    le = jnp.log10(jnp.maximum(e, 1e-300))
+    j = jnp.clip(jnp.sum((vrows < le[:, None]).astype(jnp.int32), axis=1),
+                 1, n_var_eff - 1)
+    v0 = jnp.take_along_axis(vrows, (j - 1)[:, None], axis=1)[:, 0]
+    v1 = jnp.take_along_axis(vrows, j[:, None], axis=1)[:, 0]
+    frac = jnp.clip(jnp.where(v1 > v0, (le - v0) / jnp.maximum(v1 - v0,
+                                                               1e-30), 0.0),
+                    0.0, 1.0)
+    ls0 = jnp.log10(jnp.maximum(rt.dust_spec[d_sel * n_var_eff + j - 1],
+                                1e-300))
+    ls1 = jnp.log10(jnp.maximum(rt.dust_spec[d_sel * n_var_eff + j],
+                                1e-300))
+    spec = 10.0 ** (ls0 * (1.0 - frac[:, None]) + ls1 * frac[:, None])
+    spec = jnp.where(spec > 1e-290, spec, 0.0)    # (B, n_nu)
 
     out = []
+    from .imaging import Provenance, origin_index
+    zi = jnp.zeros_like(d_sel)
+    zb = jnp.zeros(d_sel.shape, dtype=bool)
+    prov = Provenance(scattered=zb, reprocessed=jnp.ones_like(zb),
+                      source_id=zi, dust_id=d_sel, n_scat=zi)
     for group in groups:
         sed = jnp.zeros((group.n_view, group.n_ap, group.n_nu, group.n_orig),
                         dtype=dtype)
         img = jnp.zeros((group.n_view, group.n_y, group.n_x, group.n_nu,
                          group.n_orig), dtype=dtype)
+        io = jnp.clip(origin_index(group, prov), 0, group.n_orig - 1)
         for iv in range(group.n_view):
-            orig = 1 if group.n_orig > 1 else 0
             sed, img = _peel_view_bin(geometry, density, rt, group, iv,
                                       x, y, z, cell, active, spec, sed, img,
-                                      orig)
+                                      io)
         out.append((sed, img))
     return out
 
