@@ -28,3 +28,12 @@ jax.config.update("jax_enable_x64", True)
 if not os.environ.get("HYP_NO_COMPILE_CACHE"):
     jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+
+
+def pytest_addoption(parser):
+    # regenerate the stored self-regression outputs (tests/data/selfreg/)
+    # instead of comparing against them (ref: the reference's
+    # --generate-reference flag, testing/pytest_plugin.py:4-21)
+    parser.addoption("--generate-reference", action="store_true",
+                     default=False,
+                     help="regenerate stored self-regression outputs")
