@@ -79,7 +79,10 @@ def bench_quickstart(args):
     out = run_lucy_iteration(geometry, dt, st, density, jid, jfrac,
                              jax.random.PRNGKey(0), n_photons // 10, batch,
                              config)
-    jax.block_until_ready(out)
+    # jax.block_until_ready does NOT reliably block on the tunneled 'axon'
+    # backend — fetch a value so the warmup's compile + execution actually
+    # complete before the timed region starts
+    float(np.asarray(out[0]).sum())
 
     t0 = time.time()
     out = run_lucy_iteration(

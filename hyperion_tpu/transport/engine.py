@@ -20,6 +20,7 @@ import jax
 import jax.numpy as jnp
 
 from .gtable import ESCAPED
+from .sampling import searchsorted_small
 from .sampling import (isotropic_direction, random_exp, rotate_direction,
                        sample_quantile_rows, searchsorted_rows, interp_loglog)
 from .mrw import sample_min09
@@ -253,7 +254,7 @@ def make_lucy_step(geometry, dt, st, density, jnu_var_id, jnu_var_frac,
         if reabs_on:
             u = jax.random.uniform(k_s, p.x.shape, dtype=dtype)
             src_fresh = jnp.clip(
-                jnp.searchsorted(st.lum_cdf, u, side='left'),
+                searchsorted_small(st.lum_cdf, u, side='left'),
                 0, st.n_sources - 1).astype(jnp.int32)
             reabs_kill = pending & (p.n_reabs + 1 > n_reabs_max)
             reemit_ok = pending & ~reabs_kill
@@ -485,7 +486,8 @@ def make_lucy_step(geometry, dt, st, density, jnu_var_id, jnu_var_frac,
             # frequency bin of the packet (constant within a flight; ref
             # grid_propagate_3d.f90:71); packets outside the edges don't bin
             log2nu = jnp.log2(jnp.maximum(p.nu, 1e-30))
-            ibin = jnp.searchsorted(spec_bins, log2nu, side='right') - 1
+            ibin = searchsorted_small(spec_bins, log2nu,
+                                      side='right') - 1
             bin_ok = (ibin >= 0) & (ibin < n_bins)
             ibin_safe = jnp.clip(ibin, 0, n_bins - 1)
         for d in range(n_dust):

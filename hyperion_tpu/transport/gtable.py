@@ -25,6 +25,8 @@ from dataclasses import dataclass, field
 import numpy as np
 import jax
 import jax.numpy as jnp
+
+from .sampling import searchsorted_small
 from jax.tree_util import register_dataclass
 
 ESCAPED = -1
@@ -66,7 +68,7 @@ class CartesianGeometry:
         """Locate packets, resolving exactly-on-wall cases by direction
         (ref: adjust_wall, grid_geometry_cartesian_3d.f90:169-230)."""
         def axis(w, p, k, n):
-            i = jnp.searchsorted(w, p, side='right').astype(jnp.int32) - 1
+            i = searchsorted_small(w, p, side='right') - 1
             # Exactly on a wall moving in -ve direction -> lower cell
             on_wall = (p == w[jnp.clip(i, 0, n)])
             i = jnp.where(on_wall & (k < 0), i - 1, i)

@@ -25,6 +25,7 @@ import jax.numpy as jnp
 from jax.tree_util import register_dataclass
 
 from .gtable import ESCAPED
+from .sampling import searchsorted_small
 
 
 @register_dataclass
@@ -85,7 +86,7 @@ class AMRGeometry:
 
     def decode(self, cell):
         """Flat cell id -> (fab, i, j, k)."""
-        fab = (jnp.searchsorted(self.fab_offset, cell, side='right') - 1)
+        fab = (searchsorted_small(self.fab_offset, cell, side='right') - 1)
         fab = jnp.clip(fab, 0, self.n_fabs - 1).astype(jnp.int32)
         local = cell - self.fab_offset[fab]
         nf = self.fab_n[fab]

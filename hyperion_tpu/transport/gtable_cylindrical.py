@@ -16,6 +16,7 @@ import jax.numpy as jnp
 from jax.tree_util import register_dataclass
 
 from .gtable import ESCAPED
+from .sampling import searchsorted_small
 
 
 @register_dataclass
@@ -67,15 +68,15 @@ class CylindricalGeometry:
         yn = y + eps * ky
         zn = z + eps * kz
         w2 = xn * xn + yn * yn
-        i1 = jnp.searchsorted(self.ww2, w2, side='right').astype(jnp.int32) - 1
+        i1 = searchsorted_small(self.ww2, w2, side='right') - 1
         i1 = jnp.maximum(i1, 0)  # on-axis points belong to the first shell
-        i2 = jnp.searchsorted(self.zw, zn, side='right').astype(jnp.int32) - 1
+        i2 = searchsorted_small(self.zw, zn, side='right') - 1
         phi = jnp.arctan2(yn, xn)
         phi = jnp.where(phi < 0.0, phi + 2.0 * jnp.pi, phi)
         if self.n3 == 1:
             i3 = jnp.zeros_like(i1)
         else:
-            i3 = jnp.searchsorted(self.phi_w, phi, side='right').astype(jnp.int32) - 1
+            i3 = searchsorted_small(self.phi_w, phi, side='right') - 1
             i3 = jnp.clip(i3, 0, self.n3 - 1)
         inside = (i1 < self.n1) & (i2 >= 0) & (i2 < self.n2) & \
             (w2 >= self.ww2[0])

@@ -22,6 +22,7 @@ import jax.numpy as jnp
 from jax.tree_util import register_dataclass
 
 from .gtable import ESCAPED
+from .sampling import searchsorted_small
 
 
 @register_dataclass
@@ -68,18 +69,18 @@ class SphericalGeometry:
         yn = y + eps * ky
         zn = z + eps * kz
         r2 = xn * xn + yn * yn + zn * zn
-        i1 = jnp.searchsorted(self.rw2, r2, side='right').astype(jnp.int32) - 1
+        i1 = searchsorted_small(self.rw2, r2, side='right') - 1
         # theta walls ascend in theta => cos(theta) DESCENDS; search on -cos
         r = jnp.sqrt(jnp.maximum(r2, 1e-300))
         cost = jnp.clip(zn / r, -1.0, 1.0)
-        i2 = jnp.searchsorted(-self.cos_tw, -cost, side='right').astype(jnp.int32) - 1
+        i2 = searchsorted_small(-self.cos_tw, -cost, side='right') - 1
         i2 = jnp.clip(i2, 0, self.n2 - 1)
         phi = jnp.arctan2(yn, xn)
         phi = jnp.where(phi < 0.0, phi + 2.0 * jnp.pi, phi)
         if self.n3 == 1:
             i3 = jnp.zeros_like(i1)
         else:
-            i3 = jnp.searchsorted(self.phi_w, phi, side='right').astype(jnp.int32) - 1
+            i3 = searchsorted_small(self.phi_w, phi, side='right') - 1
             i3 = jnp.clip(i3, 0, self.n3 - 1)
         inside = (i1 >= 0) & (i1 < self.n1)
         return jnp.where(inside, self.encode(i1, i2, i3), ESCAPED)

@@ -27,6 +27,7 @@ from jax.tree_util import register_dataclass
 from .gtable import ESCAPED
 from .engine import update_optical_constants, sample_emission_nu, \
     sample_scattering_mu, select_dust
+from .sampling import searchsorted_small
 from .sampling import (isotropic_direction, random_exp, rotate_direction,
                        searchsorted_rows)
 
@@ -317,7 +318,8 @@ def filter_transmissions(group, nu):
     grid = group.filter_lognu
     n_samp = grid.shape[0]
     lognu = jnp.log10(nu)
-    j = jnp.clip(jnp.searchsorted(grid, lognu), 1, n_samp - 1)
+    j = jnp.clip(searchsorted_small(grid, lognu, side='left'), 1,
+                 n_samp - 1)
     w = (lognu - grid[j - 1]) / (grid[j] - grid[j - 1])
     tr = group.filter_tn[:, j - 1] * (1.0 - w) + group.filter_tn[:, j] * w
     inside = (lognu >= grid[0]) & (lognu <= grid[-1])
@@ -758,7 +760,7 @@ def make_final_step(geometry, dt, st, density, jnu_var_id, jnu_var_frac,
             # 219-243: emit(reemit=.true.) then plain random_exp)
             u = jax.random.uniform(k_s, p.x.shape, dtype=dtype)
             src_fresh = jnp.clip(
-                jnp.searchsorted(st.lum_cdf, u, side='left'),
+                searchsorted_small(st.lum_cdf, u, side='left'),
                 0, st.n_sources - 1).astype(jnp.int32)
             reabs_kill = pending & (p.n_reabs + 1 > n_reabs_max)
             reemit_ok = pending & ~reabs_kill

@@ -17,7 +17,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from .sampling import interp_loglog
+from .sampling import interp_loglog, searchsorted_small
 
 
 def normalize_specific_energy(energy_sum, scale, volumes):
@@ -43,7 +43,8 @@ def compute_jnu_var(dt, specific_energy):
         var = dt.emiss_var[d]
         logv = dt.log_emiss_var[d]
         e = specific_energy[d]
-        i = jnp.clip(jnp.searchsorted(var, e, side='right') - 1, 0, n_var - 2)
+        i = jnp.clip(searchsorted_small(var, e, side='right') - 1, 0,
+                     n_var - 2)
         frac = (jnp.log10(jnp.maximum(e, 1e-300)) - logv[i]) / \
                (logv[i + 1] - logv[i])
         below = e < var[0]

@@ -32,6 +32,7 @@ import jax
 import jax.numpy as jnp
 
 from .gtable import ESCAPED
+from .sampling import searchsorted_small
 from .sampling import (isotropic_direction, random_exp, rotate_direction,
                        sample_cdf_rows2)
 from .engine import select_dust, sample_scattering_mu
@@ -240,7 +241,7 @@ def _make_mono_step(geometry, dt, st, density, groups, config, mode,
             if reabs_on:
                 u = jax.random.uniform(k_s, (B,), dtype=dtype)
                 src_fresh = jnp.clip(
-                    jnp.searchsorted(st.lum_cdf, u, side='left'),
+                    searchsorted_small(st.lum_cdf, u, side='left'),
                     0, st.n_sources - 1).astype(jnp.int32)
                 src = jnp.where(reemit_ok, p.reemit_src, src_fresh)
                 new = emit_packets(st, k_e, B, dtype, src=src,
@@ -267,7 +268,7 @@ def _make_mono_step(geometry, dt, st, density, groups, config, mode,
             # (B, n_cells) gather of CDF rows)
             cell_pick = jnp.zeros((B,), dtype=jnp.int32)
             for d in range(cell_cdf.shape[0]):
-                idx_d = jnp.searchsorted(cell_cdf[d], uc,
+                idx_d = searchsorted_small(cell_cdf[d], uc,
                                          side='left').astype(jnp.int32)
                 cell_pick = jnp.where(d_pick == d, idx_d, cell_pick)
             cell_pick = jnp.clip(cell_pick, 0, n_cells - 1)

@@ -14,6 +14,25 @@ import jax
 import jax.numpy as jnp
 
 
+def searchsorted_small(table, x, side='right', max_materialize=1024):
+    """``jnp.searchsorted`` replacement for SMALL shared tables.
+
+    ``jnp.searchsorted``'s binary search lowers to a serialized chain of
+    per-lane dynamic gathers on TPU: measured 3.7 ms at B=65536 against a
+    65-entry table, where a broadcast compare + row-sum costs 0.06 ms (62x).
+    The (B, n) comparison intermediate is fine for n <= ~1k; larger tables
+    fall back to the library search (they only appear outside the hot loop).
+    """
+    n = int(table.shape[0])
+    if n > max_materialize:
+        return jnp.searchsorted(table, x, side=side).astype(jnp.int32)
+    if side == 'right':
+        cmp = table[None, :] <= x[..., None]
+    else:
+        cmp = table[None, :] < x[..., None]
+    return jnp.sum(cmp, axis=-1).astype(jnp.int32)
+
+
 def searchsorted_rows(table, rows, x, n=None):
     """For each lane i: index j such that table[rows[i], j-1] <= x[i] <
     table[rows[i], j], via branchless binary search.
@@ -148,7 +167,7 @@ def quantile_table(x, cdf_rows, n_quantiles, log2=False):
 def sample_cdf(x_grid, cdf, xi, log_interp=False):
     """Invert a single shared CDF for all lanes (vectorized searchsorted)."""
     n = x_grid.shape[0]
-    j = jnp.clip(jnp.searchsorted(cdf, xi, side='right'), 1, n - 1)
+    j = jnp.clip(searchsorted_small(cdf, xi, side='right'), 1, n - 1)
     c0 = cdf[j - 1]
     c1 = cdf[j]
     frac = jnp.where(c1 > c0, (xi - c0) / (c1 - c0), 0.0)
@@ -162,7 +181,7 @@ def sample_cdf(x_grid, cdf, xi, log_interp=False):
 def interp_loglog(x_table, y_table, x):
     """Batched log-log interpolation of y_table(x_table) at x (clipped)."""
     n = x_table.shape[0]
-    j = jnp.clip(jnp.searchsorted(x_table, x, side='right'), 1, n - 1)
+    j = jnp.clip(searchsorted_small(x_table, x, side='right'), 1, n - 1)
     x0, x1 = x_table[j - 1], x_table[j]
     y0, y1 = y_table[j - 1], y_table[j]
     frac = jnp.log(x / x0) / jnp.log(x1 / x0)
@@ -174,7 +193,7 @@ def interp_loglog(x_table, y_table, x):
 def interp_linear(x_table, y_table, x):
     """Batched linear interpolation (clipped to table range)."""
     n = x_table.shape[0]
-    j = jnp.clip(jnp.searchsorted(x_table, x, side='right'), 1, n - 1)
+    j = jnp.clip(searchsorted_small(x_table, x, side='right'), 1, n - 1)
     x0, x1 = x_table[j - 1], x_table[j]
     y0, y1 = y_table[j - 1], y_table[j]
     frac = jnp.clip((x - x0) / (x1 - x0), 0.0, 1.0)

@@ -21,7 +21,7 @@ import jax
 import jax.numpy as jnp
 
 from ..util.functions import B_nu, planck_nu_range
-from .sampling import sample_quantile_rows, isotropic_direction
+from .sampling import searchsorted_small, sample_quantile_rows, isotropic_direction
 
 # Source type codes (mirroring ref source%type 1..8; spots — ref type 3 —
 # are expanded into SPHERE rows with a cap constraint, see build below)
@@ -311,7 +311,7 @@ def emit_packets(st, key, n, dtype, src=None, geometry=None, lte_ctx=None):
 
     if src is None:
         u = jax.random.uniform(k_src, (n,), dtype=dtype)
-        src = jnp.searchsorted(st.lum_cdf, u, side='left').astype(jnp.int32)
+        src = searchsorted_small(st.lum_cdf, u, side='left')
         src = jnp.clip(src, 0, st.n_sources - 1)
     code = st.type_code[src]
 
@@ -353,7 +353,7 @@ def emit_packets(st, key, n, dtype, src=None, geometry=None, lte_ctx=None):
         n_map = st.map_cdf.shape[0]
         mrow = st.map_row[src]
         for i in range(n_map):
-            idx_i = jnp.searchsorted(st.map_cdf[i], u_map,
+            idx_i = searchsorted_small(st.map_cdf[i], u_map,
                                      side='left').astype(jnp.int32)
             map_cell = jnp.where(mrow == i, idx_i, map_cell)
         map_cell = jnp.clip(map_cell, 0, st.map_cdf.shape[1] - 1)
