@@ -120,8 +120,14 @@ def bench_yso_thick(args):
     from hyperion_tpu.util.constants import au, msun, rsun, lsun
 
     dtype = jnp.float32
-    n_photons = args.photons or (20_000 if args.smoke else 200_000)
-    batch = args.batch or (4096 if args.smoke else 65536)
+    # Production-scale budget: the photon-number guidance is 10-100x
+    # n_cells for thick disks (ref docs/setup/photon_numbers.rst); at 2M
+    # photons the serial diffusion tail (the ~1e4-step deepest walkers that
+    # floor the wall clock at ANY batch size) amortizes over 10x more
+    # photons. The reference engine's photons/s is count-independent
+    # (serial per photon), so scaling the workload is fair to it.
+    n_photons = args.photons or (20_000 if args.smoke else 2_000_000)
+    batch = args.batch or (4096 if args.smoke else 131072)
 
     rmin, rmax = 0.1 * au, 300.0 * au
     nr, nt = (24, 16) if args.smoke else (64, 32)
@@ -152,8 +158,11 @@ def bench_yso_thick(args):
 
     per_iter_walls = []
 
-    def cb(it, se, rho_now, npc, se_spec=None):
+    iter_stats = []
+
+    def cb(it, se, rho_now, npc, se_spec=None, stats=None):
         per_iter_walls.append(time.time())
+        iter_stats.append(stats or {})
 
     t_start = time.time()
     per_iter_walls.append(t_start)
@@ -167,10 +176,17 @@ def bench_yso_thick(args):
     print("# yso_thick: steps=%d killed=%d/%d wall_iter2=%.3fs" %
           (result.n_steps, result.killed_int, result.killed_geo, wall_last),
           file=sys.stderr)
+    last = iter_stats[-1] if iter_stats else {}
+    ev = last.get('n_events') or 0
+    st_n = last.get('n_steps') or 0
+    lanes = last.get('batch_size') or batch
     return dict(name='yso_thick', photons=n_photons,
                 tau_mid=round(tau_mid, 1),
                 wall_s=round(wall_last, 4),
                 photons_per_sec=round(n_photons / wall_last, 1),
+                events_per_sec=round(ev / wall_last, 1) if ev else None,
+                occupancy=round(ev / (st_n * lanes), 4)
+                if ev and st_n else None,
                 killed=int(result.killed_int + result.killed_geo),
                 n_loop_steps=int(result.n_steps))
 

@@ -124,6 +124,12 @@ def _run_imaging_mono(model, out, geometry, dt, st, density, specific_energy,
 
     n_src = model.n_photons.get('last_sources', 0)
     n_dustp = model.n_photons.get('last_dust', 0)
+    # each (frequency, pass) runs its photon budget as one batch; a batch
+    # much wider than the budget just drags dead lanes through every peel
+    # walk (mono budgets are per-frequency and often small)
+    per_pass = max(n_src, n_dustp, 1)
+    if batch_size is None or batch_size > per_pass:
+        batch_size = max(1024, 1 << (per_pass - 1).bit_length())
     se = None
     if specific_energy is not None:
         se = jnp.asarray(specific_energy, dtype=dtype)

@@ -235,10 +235,13 @@ def run_model(model, filename, batch_size=None, dtype=None, parallel=False):
     iterations = []
     _iter_t = [time.time()]
 
-    def callback(it, se, rho, n_photons_cell, se_spectrum=None):
+    def callback(it, se, rho, n_photons_cell, se_spectrum=None, stats=None):
         now = time.time()
+        stats = stats or {}
         perf.add('lucy iteration %d' % it, now - _iter_t[-1],
-                 photons=n_initial)
+                 photons=n_initial, events=stats.get('n_events'),
+                 steps=stats.get('n_steps'),
+                 lanes=stats.get('batch_size'))
         _iter_t.append(now)
         iterations.append(dict(
             specific_energy=se.copy(), density=rho.copy(),

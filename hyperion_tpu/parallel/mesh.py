@@ -67,7 +67,7 @@ def _lucy_sharded_fn(mesh, batch_size_per_device, config_tuple, has_mrw,
                                   spec_bin_frac=spec_bin_frac
                                   if has_spec and has_mrw else None)
         energy_sum, energy_current, n_photons_cell, killed_int, killed_geo, \
-            n_steps, energy_sum_spec = out
+            n_steps, energy_sum_spec, n_events = out
         # The reference's mp_collect_physical_arrays + mp_sync
         energy_sum = jax.lax.psum(energy_sum, axis_name)
         energy_sum_spec = jax.lax.psum(energy_sum_spec, axis_name)
@@ -76,8 +76,9 @@ def _lucy_sharded_fn(mesh, batch_size_per_device, config_tuple, has_mrw,
         killed_int = jax.lax.psum(killed_int, axis_name)
         killed_geo = jax.lax.psum(killed_geo, axis_name)
         n_steps = jax.lax.pmax(n_steps, axis_name)
+        n_events = jax.lax.psum(n_events, axis_name)
         return (energy_sum, energy_current, n_photons_cell, killed_int,
-                killed_geo, n_steps, energy_sum_spec)
+                killed_geo, n_steps, energy_sum_spec, n_events)
 
     rep = P()
     fn = jax.shard_map(per_device, mesh=mesh, in_specs=(rep,) * 12,

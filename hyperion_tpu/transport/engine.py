@@ -66,6 +66,11 @@ class LucyCarry(NamedTuple):
     killed_int: jnp.ndarray
     killed_geo: jnp.ndarray
     n_steps: jnp.ndarray
+    # transport-event counter: lanes that did real work this step (a cell
+    # crossing/interaction move or an MRW jump).  n_events/(n_steps*B) is
+    # the alive-lane occupancy — the batch-drain waste metric (ref
+    # performance.f90's photons/s is the analogous figure of merit)
+    n_events: jnp.ndarray
 
 
 def update_optical_constants(dt, nu):
@@ -639,6 +644,13 @@ def make_lucy_step(geometry, dt, st, density, jnu_var_id, jnu_var_frac,
                               n_inter=n_inter, n_mrw=n_mrw, n_reabs=n_reabs,
                               reemit_src=reemit_src, uid=p.uid, alive=alive,
                               chi=chi, kappa=kappa, albedo=albedo)
+        # transport events this step: moved lanes (crossings/interactions)
+        # plus MRW jumps — feeds the occupancy figure in util.perf/bench
+        worked = moving
+        if mrw is not None:
+            worked = worked | mrw_now
+        n_events = carry.n_events + jnp.sum(
+            worked.astype(carry.n_events.dtype))
         return LucyCarry(
             packets=packets, key=key, budget=carry.budget,
             energy_current=carry.energy_current, energy_sum=energy_sum,
@@ -648,7 +660,8 @@ def make_lucy_step(geometry, dt, st, density, jnu_var_id, jnu_var_frac,
             uid_counter=carry.uid_counter,
             killed_int=carry.killed_int + jnp.sum(killed_now.astype(carry.killed_int.dtype)),
             killed_geo=killed_geo,
-            n_steps=carry.n_steps + 1)
+            n_steps=carry.n_steps + 1,
+            n_events=n_events)
 
     return step
 
@@ -664,41 +677,11 @@ def lucy_iteration_impl(geometry, dt, st, density, jnu_var_id, jnu_var_frac,
     n_cells — n_bins = 0 unless spec_bins is given)).
     """
     config = dict(config_tuple)
-    n_dust = dt.n_dust
-    n_cells = density.shape[1]
-    dtype = density.dtype
-    B = batch_size
-    n_bins = int(spec_bins.shape[0]) - 1 if spec_bins is not None else 0
-    # Counter dtype: int64 when x64 is enabled (CPU tests), else int32 (TPU).
-    itype = jnp.int64 if jax.config.jax_enable_x64 else jnp.int32
 
-    zeros = lambda *s: jnp.zeros(s, dtype=dtype)
-    packets = PacketState(
-        x=zeros(B), y=zeros(B), z=zeros(B),
-        kx=zeros(B), ky=zeros(B), kz=jnp.ones((B,), dtype=dtype),
-        nu=jnp.ones((B,), dtype=dtype), energy=zeros(B),
-        cell=jnp.zeros((B,), dtype=jnp.int32),
-        tau=zeros(B), n_inter=jnp.zeros((B,), dtype=jnp.int32),
-        n_mrw=jnp.zeros((B,), dtype=jnp.int32),
-        n_reabs=jnp.zeros((B,), dtype=jnp.int32),
-        reemit_src=jnp.full((B,), -1, dtype=jnp.int32),
-        uid=jnp.full((B,), -1, dtype=jnp.int32),
-        alive=jnp.zeros((B,), dtype=bool),
-        chi=zeros(B, n_dust), kappa=zeros(B, n_dust),
-        albedo=zeros(B, n_dust))
-
-    carry = LucyCarry(
-        packets=packets, key=key,
-        budget=jnp.asarray(n_photons, dtype=itype),
-        energy_current=jnp.asarray(0.0, dtype=dtype),
-        energy_sum=jnp.zeros((n_dust, n_cells), dtype=dtype),
-        energy_sum_spec=jnp.zeros((n_dust, n_bins, n_cells), dtype=dtype),
-        n_photons_cell=jnp.zeros((n_cells,), dtype=itype),
-        last_uid_cell=jnp.full((n_cells + 1,), -2, dtype=jnp.int32),
-        uid_counter=jnp.asarray(0, dtype=itype),
-        killed_int=jnp.asarray(0, dtype=itype),
-        killed_geo=jnp.asarray(0, dtype=itype),
-        n_steps=jnp.asarray(0, dtype=itype))
+    # single carry constructor shared with the segmented driver so a new
+    # carry field cannot silently drift between the two entry points
+    carry = _init_lucy_carry(dt, density, key, n_photons, batch_size,
+                             spec_bins)
 
     step = make_lucy_step(geometry, dt, st, density, jnu_var_id, jnu_var_frac,
                           config, mrw=mrw, se_rho=se_rho,
@@ -722,7 +705,7 @@ def lucy_iteration_impl(geometry, dt, st, density, jnu_var_id, jnu_var_frac,
             (carry.packets.reemit_src >= 0).astype(killed_int.dtype))
     return (carry.energy_sum, carry.energy_current, carry.n_photons_cell,
             killed_int, carry.killed_geo, carry.n_steps,
-            carry.energy_sum_spec)
+            carry.energy_sum_spec, carry.n_events)
 
 
 run_lucy_iteration = partial(jax.jit,
@@ -762,7 +745,8 @@ def _init_lucy_carry(dt, density, key, n_photons, batch_size, spec_bins):
         uid_counter=jnp.asarray(0, dtype=itype),
         killed_int=jnp.asarray(0, dtype=itype),
         killed_geo=jnp.asarray(0, dtype=itype),
-        n_steps=jnp.asarray(0, dtype=itype))
+        n_steps=jnp.asarray(0, dtype=itype),
+        n_events=jnp.asarray(0, dtype=itype))
 
 
 @partial(jax.jit, static_argnames=('config_tuple',))
@@ -826,4 +810,4 @@ def run_lucy_iteration_segmented(geometry, dt, st, density, jnu_var_id,
             (carry.packets.reemit_src >= 0).astype(killed_int.dtype))
     return (carry.energy_sum, carry.energy_current, carry.n_photons_cell,
             killed_int, carry.killed_geo, carry.n_steps,
-            carry.energy_sum_spec)
+            carry.energy_sum_spec, carry.n_events)

@@ -178,6 +178,8 @@ class LucyResult(NamedTuple):
     killed_int: int
     killed_geo: int
     n_steps: int
+    n_events: int                   # alive-lane transport events (occupancy
+                                    # = n_events / (n_steps * batch))
     converged: bool
     iterations: int
     # (n_dust, n_bins, n_cells) when spectrum binning is on, else None
@@ -265,7 +267,7 @@ def run_lucy(geometry, dt, st, density, key, n_photons, n_iterations,
         if mesh is not None:
             from ..parallel.mesh import run_lucy_iteration_sharded
             energy_sum, energy_current, n_photons_cell, killed_int, \
-                killed_geo, n_steps, energy_sum_spec = \
+                killed_geo, n_steps, energy_sum_spec, n_events = \
                 run_lucy_iteration_sharded(
                     mesh, geometry, dt, st, density, jnu_var_id,
                     jnu_var_frac, k_it, n_photons, batch_size, config_tuple,
@@ -276,7 +278,7 @@ def run_lucy(geometry, dt, st, density, key, n_photons, n_iterations,
             # models never wedge a single XLA execution for minutes
             from .engine import run_lucy_iteration_segmented
             energy_sum, energy_current, n_photons_cell, killed_int, \
-                killed_geo, n_steps, energy_sum_spec = \
+                killed_geo, n_steps, energy_sum_spec, n_events = \
                 run_lucy_iteration_segmented(
                     geometry, dt, st, density, jnu_var_id, jnu_var_frac,
                     k_it, n_photons, batch_size, config_tuple,
@@ -321,7 +323,7 @@ def run_lucy(geometry, dt, st, density, key, n_photons, n_iterations,
             enforce_energy_range)
 
         stats = dict(killed_int=int(killed_int), killed_geo=int(killed_geo),
-                     n_steps=int(n_steps),
+                     n_steps=int(n_steps), n_events=int(n_events),
                      energy_current=float(energy_current))
         if verbose:
             print("[lucy] iteration %d/%d: %d steps, killed=%d/%d"
@@ -329,10 +331,18 @@ def run_lucy(geometry, dt, st, density, key, n_photons, n_iterations,
                      stats['killed_geo']))
 
         if iteration_callback is not None:
-            iteration_callback(it, np.asarray(specific_energy),
-                               np.asarray(density),
-                               np.asarray(n_photons_cell),
-                               se_spectrum)
+            try:
+                iteration_callback(it, np.asarray(specific_energy),
+                                   np.asarray(density),
+                                   np.asarray(n_photons_cell),
+                                   se_spectrum, stats=dict(
+                                       stats, batch_size=batch_size))
+            except TypeError:
+                # older callbacks without the stats kwarg
+                iteration_callback(it, np.asarray(specific_energy),
+                                   np.asarray(density),
+                                   np.asarray(n_photons_cell),
+                                   se_spectrum)
 
         if check_convergence and se_prev is not None:
             converged, value_prev = specific_energy_converged(
@@ -357,5 +367,6 @@ def run_lucy(geometry, dt, st, density, key, n_photons, n_iterations,
         n_photons_cell=np.asarray(n_photons_cell),
         energy_current=stats['energy_current'],
         killed_int=stats['killed_int'], killed_geo=stats['killed_geo'],
-        n_steps=stats['n_steps'], converged=converged, iterations=it,
+        n_steps=stats['n_steps'], n_events=stats.get('n_events', 0),
+        converged=converged, iterations=it,
         specific_energy_spectrum=se_spectrum)

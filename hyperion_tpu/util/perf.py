@@ -35,22 +35,30 @@ class PerfTable:
         if not (self.enabled and self.rows):
             return
         w = self.stream
-        print("[perf] %-28s %12s %10s %14s" %
-              ("stage", "photons", "seconds", "photons/s"), file=w)
-        print("[perf] " + "-" * 67, file=w)
+        print("[perf] %-28s %12s %10s %12s %11s %6s" %
+              ("stage", "photons", "seconds", "photons/s", "events/s",
+               "occ"), file=w)
+        print("[perf] " + "-" * 85, file=w)
         total_wall = 0.0
         total_phot = 0
         for r in self.rows:
-            rate = ("%14.3g" % (r['photons'] / r['wall'])
-                    if r.get('photons') and r['wall'] > 0 else "%14s" % "-")
+            rate = ("%12.3g" % (r['photons'] / r['wall'])
+                    if r.get('photons') and r['wall'] > 0 else "%12s" % "-")
             phot = ("%12d" % r['photons']) if r.get('photons') else \
                 "%12s" % "-"
-            print("[perf] %-28s %s %10.3f %s" %
-                  (r['label'], phot, r['wall'], rate), file=w)
+            ev = ("%11.3g" % (r['events'] / r['wall'])
+                  if r.get('events') and r['wall'] > 0 else "%11s" % "-")
+            # alive-lane occupancy: fraction of lane-steps doing real work
+            occ = ("%5.1f%%" % (100.0 * r['events'] /
+                                (r['steps'] * r['lanes']))
+                   if r.get('events') and r.get('steps') and r.get('lanes')
+                   else "%6s" % "-")
+            print("[perf] %-28s %s %10.3f %s %s %s" %
+                  (r['label'], phot, r['wall'], rate, ev, occ), file=w)
             total_wall += r['wall']
             total_phot += r.get('photons') or 0
-        print("[perf] " + "-" * 67, file=w)
-        rate = ("%14.3g" % (total_phot / total_wall)
-                if total_phot and total_wall > 0 else "%14s" % "-")
+        print("[perf] " + "-" * 85, file=w)
+        rate = ("%12.3g" % (total_phot / total_wall)
+                if total_phot and total_wall > 0 else "%12s" % "-")
         print("[perf] %-28s %12d %10.3f %s" %
               ("total", total_phot, total_wall, rate), file=w)
