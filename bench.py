@@ -127,7 +127,11 @@ def bench_yso_thick(args):
     # photons. The reference engine's photons/s is count-independent
     # (serial per photon), so scaling the workload is fair to it.
     n_photons = args.photons or (20_000 if args.smoke else 2_000_000)
-    batch = args.batch or (4096 if args.smoke else 131072)
+    # batch scan on v5e (2M photons): 131072 -> 5.2k, 65536 -> 12.4k,
+    # 32768 -> 25.5k, 8192 -> 46.3k, 4096 -> 54.3k, 2048 -> 43.3k photons/s;
+    # small batches win because the deep-diffusion tail serializes and the
+    # per-step cost scales with batch width
+    batch = args.batch or (4096 if args.smoke else 4096)
 
     rmin, rmax = 0.1 * au, 300.0 * au
     nr, nt = (24, 16) if args.smoke else (64, 32)

@@ -186,13 +186,19 @@ def _validate_model(geometry, st, dt):
                                         nu_lo, nu_hi))
 
 
-def run_model(model, filename, batch_size=None, dtype=None, parallel=False):
+def run_model(model, filename, batch_size=None, dtype=None, parallel=False,
+              shard_grid=False):
     """Execute the model and write the .rtout file.
 
     ``parallel``: False/1 = single device; True = all local devices;
     int n = first n devices. Photon batches are data-parallel over the
     resulting mesh in every Monte-Carlo stage (the analog of the reference's
-    ``mpirun -n N hyperion_*_mpi``, ref scripts/hyperion:60-92)."""
+    ``mpirun -n N hyperion_*_mpi``, ref scripts/hyperion:60-92).
+
+    ``shard_grid``: additionally shard the GRID state over the mesh for the
+    Lucy iterations (slab decomposition + ppermute packet exchange,
+    parallel/spatial.py) — the memory-scaling axis the reference's
+    replicated-grid MPI design lacks. Imaging stages stay photon-DP."""
     import h5py
     import jax
     import jax.numpy as jnp
@@ -278,7 +284,8 @@ def run_model(model, filename, batch_size=None, dtype=None, parallel=False):
             use_pda=model.pda, pda_tables=_pda_tables(model),
             check_frequency=getattr(model, '_frequency', 0.0),
             spectrum_bins=model.specific_energy_spectrum_bins,
-            mesh=mesh, verbose=True, iteration_callback=callback)
+            mesh=mesh, shard_grid=shard_grid, verbose=True,
+            iteration_callback=callback)
 
     # ---- write output -------------------------------------------------------
     out = h5py.File(filename, 'w')

@@ -25,6 +25,11 @@ def main(argv=None):
     parser.add_argument('-m', type=int, default=None, dest='n_processes',
                         metavar='n_devices',
                         help='number of devices for data parallelism')
+    parser.add_argument('--shard-grid', action='store_true',
+                        dest='shard_grid',
+                        help='shard the grid state over the device mesh '
+                             '(slab decomposition + packet exchange) for '
+                             'the Lucy iterations')
     parser.add_argument('--cpu', action='store_true')
     parser.add_argument('--f64', action='store_true')
     parser.add_argument('input')
@@ -50,7 +55,8 @@ def main(argv=None):
     model.filename = args.input
     run_model(model, args.output,
               parallel=args.n_processes
-              if args.n_processes and args.n_processes > 1 else False)
+              if args.n_processes and args.n_processes > 1 else False,
+              shard_grid=args.shard_grid)
 
     # post-run integrity check (ref scripts/hyperion:95-106)
     import h5py

@@ -152,6 +152,90 @@ def select_dust(key, chi, density_rows):
     return jnp.clip(sel, 0, w.shape[-1] - 1)
 
 
+def interaction_update(dt, keys, interacting, nu, kx, ky, kz, chi, albedo,
+                       rho_rows, vid_rows, vfrac_rows, dtype,
+                       fused_sampler=None):
+    """Shared single-event interaction physics (ref interact,
+    dust_interact.f90:22-76): dust pick ∝ chi*rho, albedo coin, absorption →
+    re-emission at a frequency from the local emissivity with an isotropic
+    direction, scattering → deflection by a sampled mu, and the cached
+    opacity refresh.  Used by BOTH the replicated engine step and the
+    spatially-sharded step so the event physics exists exactly once.
+
+    ``keys``: (k_dust, k_coin, k_nu, k_dir, k_mu, k_phi).
+    ``fused_sampler``: optional closure (scatter, d_sel, var_id, var_frac,
+    nu, k_nu) -> (nu_em, mu_s) — the engine's combined quantile table.
+
+    Returns a dict of the post-event lane values (masked by
+    ``interacting``) plus the absorbed/scattered masks and d_sel."""
+    k_dust, k_coin, k_nu, k_dir, k_mu, k_phi = keys
+    d_sel = select_dust(k_dust, chi, rho_rows)
+    alb = _select_col(albedo, d_sel)
+    coin = jax.random.uniform(k_coin, alb.shape, dtype=dtype)
+    scatter = coin <= alb
+
+    var_id = _select_col(vid_rows, d_sel).astype(jnp.int32)
+    var_frac = _select_col(vfrac_rows, d_sel)
+    if fused_sampler is not None:
+        nu_em, mu_s = fused_sampler(scatter, d_sel, var_id, var_frac, nu,
+                                    k_nu)
+    else:
+        nu_em = sample_emission_nu(dt, d_sel, var_id, var_frac, k_nu)
+        mu_s = sample_scattering_mu(dt, d_sel, nu, k_mu)
+    ex, ey, ez = isotropic_direction(k_dir, nu.shape, dtype)
+    phi_s = jax.random.uniform(k_phi, nu.shape, dtype=dtype,
+                               maxval=2 * jnp.pi)
+    sx, sy, sz = rotate_direction(kx, ky, kz, mu_s, phi_s)
+
+    absorbed = interacting & ~scatter
+    scattered = interacting & scatter
+    nu_new = jnp.where(absorbed, nu_em, nu)
+    kx_new = jnp.where(absorbed, ex, jnp.where(scattered, sx, kx))
+    ky_new = jnp.where(absorbed, ey, jnp.where(scattered, sy, ky))
+    kz_new = jnp.where(absorbed, ez, jnp.where(scattered, sz, kz))
+
+    chi_n, kappa_n, alb_n = update_optical_constants(dt, nu_new)
+    return dict(nu=nu_new, kx=kx_new, ky=ky_new, kz=kz_new,
+                chi=jnp.where(absorbed[:, None], chi_n, chi),
+                kappa_abs=kappa_n, albedo_abs=alb_n,
+                absorbed=absorbed, scattered=scattered, d_sel=d_sel)
+
+
+def mrw_jump_update(dt, mrw, keys, mrw_now, x, y, z, energy, chi, d_close,
+                    alpha_inv, kappa_p_rows, rho_rows, vid_rows, vfrac_rows,
+                    dtype):
+    """Shared Min+09 Modified-Random-Walk move (ref grid_do_mrw,
+    grid_mrw_3d.f90:56-111): sample the diffusion time from eq. (8),
+    compute the per-dust Lucy deposit ct*kappa_planck*E (eq. 9), jump to
+    the R0 sphere surface with a fresh isotropic direction, and resample
+    the frequency from the local b_nu.  Used by both the replicated and
+    the spatially-sharded steps.
+
+    ``keys``: 5 PRNG keys.  Returns (deps [(B,) per dust], x_m, y_m, z_m,
+    (nkx, nky, nkz), nu_m, chi_m, kappa_m, alb_m)."""
+    k1, k2, k3, k4, k5 = keys
+    y_s = sample_min09(mrw, k1, x.shape, dtype)
+    ct = -jnp.log(jnp.maximum(y_s, 1e-30)) * 3.0 * \
+        alpha_inv * (d_close / jnp.pi) ** 2
+    deps = []
+    for d in range(rho_rows.shape[1]):
+        deps.append(jnp.where(mrw_now & (rho_rows[:, d] > 0.0),
+                              ct * kappa_p_rows[:, d] * energy, 0.0))
+    jx, jy, jz = isotropic_direction(k2, x.shape, dtype)
+    nk = isotropic_direction(k3, x.shape, dtype)
+    x_m = x + d_close * jx
+    y_m = y + d_close * jy
+    z_m = z + d_close * jz
+    d_sel_m = select_dust(k4, chi, rho_rows)
+    nu_m = sample_emission_nu(dt, d_sel_m,
+                              _select_col(vid_rows, d_sel_m)
+                              .astype(jnp.int32),
+                              _select_col(vfrac_rows, d_sel_m),
+                              k5, use_bnu=True)
+    chi_m, kappa_m, alb_m = update_optical_constants(dt, nu_m)
+    return deps, x_m, y_m, z_m, nk, nu_m, chi_m, kappa_m, alb_m
+
+
 def make_lucy_step(geometry, dt, st, density, jnu_var_id, jnu_var_frac,
                    config, mrw=None, se_rho=None, spec_bins=None,
                    spec_bin_frac=None):
@@ -209,7 +293,9 @@ def make_lucy_step(geometry, dt, st, density, jnu_var_id, jnu_var_frac,
     K_mu = int(dt.mu_q.shape[1])
     n_em_rows = int(dt.jnu_q.shape[0])
     comb_q = None
-    if K_mu >= 2 and (K_em - 1) % (K_mu - 1) == 0:
+    # K_em > K_mu guards the degenerate single-knot emission table
+    # (K_em == 1 would make f_up == 0 and divide by zero below)
+    if K_mu >= 2 and K_em > K_mu and (K_em - 1) % (K_mu - 1) == 0:
         f_up = (K_em - 1) // (K_mu - 1)
         pos = jnp.arange(K_em, dtype=dtype) / f_up
         j_up = jnp.clip(pos.astype(jnp.int32), 0, K_mu - 2)
@@ -217,6 +303,26 @@ def make_lucy_step(geometry, dt, st, density, jnu_var_id, jnu_var_frac,
         mu_up = dt.mu_q[:, j_up] * (1.0 - fr_up)[None, :] + \
             dt.mu_q[:, j_up + 1] * fr_up[None, :]
         comb_q = jnp.concatenate([dt.jnu_q, mu_up], axis=0)
+
+    if comb_q is not None:
+        def fused_sampler(scatter, d_sel, var_id, var_frac, nu, k_nu):
+            # one shared quantile inversion: emission-nu row for absorbing
+            # lanes, scattering-mu row for scattering lanes
+            k_bin, k_xi = jax.random.split(k_nu)
+            u_bin = jax.random.uniform(k_bin, d_sel.shape,
+                                       dtype=comb_q.dtype)
+            v_bin = var_id + (u_bin < var_frac).astype(var_id.dtype)
+            em_rows = d_sel * dt.n_var + jnp.minimum(v_bin, dt.n_var - 1)
+            n_nu_tab = dt.nu.shape[1]
+            inu = jnp.clip(searchsorted_rows(dt.nu, d_sel, nu) - 1,
+                           0, n_nu_tab - 1)
+            mu_rows = n_em_rows + d_sel * n_nu_tab + inu
+            rows_c = jnp.where(scatter, mu_rows, em_rows)
+            xi_c = jax.random.uniform(k_xi, d_sel.shape, dtype=comb_q.dtype)
+            val_c = sample_quantile_rows(comb_q, rows_c, xi_c)
+            return jnp.exp2(val_c), val_c
+    else:
+        fused_sampler = None
 
     from .stable import emit_packets, nearest_source_intersection
 
@@ -372,19 +478,18 @@ def make_lucy_step(geometry, dt, st, density, jnu_var_id, jnu_var_frac,
 
             def mrw_branch(ops):
                 carry, p = ops
-                y = sample_min09(mrw, k_mrw1, p.x.shape, dtype)
-                # ct = -ln(y)*3*alpha_inv_planck*(R0/pi)^2 (Min+09 eq. 8)
-                ct = -jnp.log(jnp.maximum(y, 1e-30)) * 3.0 * \
-                    alpha_inv * (d_close / jnp.pi) ** 2
-                # deposit ct * kappa_planck * E per dust (Min+09 eq. 9)
-                rho_rows_m = rho_rows
+                # shared Min+09 move (also used by the spatial step)
+                deps, x_m, y_m, z_m, (nkx, nky, nkz), nu_m, chi_m, \
+                    kappa_m, alb_m = mrw_jump_update(
+                        dt, mrw, (k_mrw1, k_mrw2, k_mrw3, k_mrw4, k_mrw5),
+                        mrw_now, p.x, p.y, p.z, p.energy, p.chi, d_close,
+                        alpha_inv, kappa_p_rows, rho_rows, vid_rows,
+                        vfrac_rows, dtype)
                 dep_idx_m = jnp.where(mrw_now, cell_safe, n_cells)
                 energy_sum_m = carry.energy_sum
                 energy_spec_m = carry.energy_sum_spec
                 for d in range(n_dust):
-                    dep = jnp.where(mrw_now & (rho_rows_m[:, d] > 0.0),
-                                    ct * kappa_p_rows[:, d] * p.energy,
-                                    0.0)
+                    dep = deps[d]
                     energy_sum_m = energy_sum_m.at[d, dep_idx_m].add(
                         dep, mode='drop')
                     if spec_on and spec_bin_frac is not None:
@@ -403,20 +508,6 @@ def make_lucy_step(geometry, dt, st, density, jnu_var_id, jnu_var_frac,
                                 d, b, dep_idx_m].add(dep * fb, mode='drop')
                 carry = carry._replace(energy_sum=energy_sum_m,
                                        energy_sum_spec=energy_spec_m)
-                # jump to the sphere surface w/ a fresh isotropic direction
-                jx, jy, jz = isotropic_direction(k_mrw2, p.x.shape, dtype)
-                nkx, nky, nkz = isotropic_direction(k_mrw3, p.x.shape, dtype)
-                x_m = p.x + d_close * jx
-                y_m = p.y + d_close * jy
-                z_m = p.z + d_close * jz
-                # resample frequency from the local b_nu emissivity
-                d_sel_m = select_dust(k_mrw4, p.chi, rho_rows_m)
-                nu_m = sample_emission_nu(dt, d_sel_m,
-                                          _select_col(vid_rows, d_sel_m)
-                                          .astype(jnp.int32),
-                                          _select_col(vfrac_rows, d_sel_m),
-                                          k_mrw5, use_bnu=True)
-                chi_m, kappa_m, alb_m = update_optical_constants(dt, nu_m)
                 n_mrw_new = p.n_mrw + mrw_now.astype(jnp.int32)
                 killed_mrw = mrw_now & (n_mrw_new > config['n_mrw_max'])
                 # the jump sphere touches the nearest wall: relocate with
@@ -528,55 +619,18 @@ def make_lucy_step(geometry, dt, st, density, jnu_var_id, jnu_var_frac,
         last_uid_cell = carry.last_uid_cell.at[enter_idx].set(
             p.uid, mode='drop')
 
-        # --- interaction (absorb+re-emit or scatter) ---
+        # --- interaction (absorb+re-emit or scatter): shared physics ---
         interacting = moving & ~hits_wall
-        d_sel = select_dust(k_dust, p.chi, rho_rows)
-        alb = _select_col(p.albedo, d_sel)
-        coin = jax.random.uniform(k_coin, alb.shape, dtype=dtype)
-        scatter = coin <= alb
-
-        # absorption -> re-emission with frequency from local emissivity
-        var_id = _select_col(vid_rows, d_sel).astype(jnp.int32)
-        var_frac = _select_col(vfrac_rows, d_sel)
-        if comb_q is not None:
-            # one shared quantile inversion: emission-nu row for absorbing
-            # lanes, scattering-mu row for scattering lanes
-            k_bin, k_xi = jax.random.split(k_nu)
-            u_bin = jax.random.uniform(k_bin, d_sel.shape,
-                                       dtype=comb_q.dtype)
-            v_bin = var_id + (u_bin < var_frac).astype(var_id.dtype)
-            em_rows = d_sel * dt.n_var + jnp.minimum(v_bin, dt.n_var - 1)
-            n_nu_tab = dt.nu.shape[1]
-            inu = jnp.clip(searchsorted_rows(dt.nu, d_sel, p.nu) - 1,
-                           0, n_nu_tab - 1)
-            mu_rows = n_em_rows + d_sel * n_nu_tab + inu
-            rows_c = jnp.where(scatter, mu_rows, em_rows)
-            xi_c = jax.random.uniform(k_xi, d_sel.shape, dtype=comb_q.dtype)
-            val_c = sample_quantile_rows(comb_q, rows_c, xi_c)
-            nu_em = jnp.exp2(val_c)
-            mu_s = val_c
-        else:
-            nu_em = sample_emission_nu(dt, d_sel, var_id, var_frac, k_nu)
-            mu_s = sample_scattering_mu(dt, d_sel, p.nu, k_mu)
-        ex, ey, ez = isotropic_direction(k_dir, p.nu.shape, dtype)
-
-        # scattering -> deflect by sampled mu
-        phi_s = jax.random.uniform(k_phi, p.nu.shape, dtype=dtype,
-                                   maxval=2 * jnp.pi)
-        sx, sy, sz = rotate_direction(p.kx, p.ky, p.kz, mu_s, phi_s)
-
-        absorbed = interacting & ~scatter
-        scattered = interacting & scatter
-        nu = jnp.where(absorbed, nu_em, p.nu)
-        kx = jnp.where(absorbed, ex, jnp.where(scattered, sx, p.kx))
-        ky = jnp.where(absorbed, ey, jnp.where(scattered, sy, p.ky))
-        kz = jnp.where(absorbed, ez, jnp.where(scattered, sz, p.kz))
-
-        # refresh cached opacities where the frequency changed
-        chi_n, kappa_n, alb_n = update_optical_constants(dt, nu)
-        chi = jnp.where(absorbed[:, None], chi_n, p.chi)
-        kappa = jnp.where(absorbed[:, None], kappa_n, p.kappa)
-        albedo = jnp.where(absorbed[:, None], alb_n, p.albedo)
+        evt = interaction_update(
+            dt, (k_dust, k_coin, k_nu, k_dir, k_mu, k_phi), interacting,
+            p.nu, p.kx, p.ky, p.kz, p.chi, p.albedo, rho_rows, vid_rows,
+            vfrac_rows, dtype, fused_sampler=fused_sampler)
+        absorbed = evt['absorbed']
+        scattered = evt['scattered']
+        nu, kx, ky, kz, chi = (evt['nu'], evt['kx'], evt['ky'], evt['kz'],
+                               evt['chi'])
+        kappa = jnp.where(absorbed[:, None], evt['kappa_abs'], p.kappa)
+        albedo = jnp.where(absorbed[:, None], evt['albedo_abs'], p.albedo)
 
         # Direction-aware relocation after the direction changed: a packet
         # whose tau ran out exactly ON a wall it just crossed now points in

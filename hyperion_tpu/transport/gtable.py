@@ -198,7 +198,13 @@ class CartesianGeometry:
         """Direction-aware on-wall re-disambiguation after a direction
         change, from the packed bounds (replaces a full find_cell: a packet
         that interacted is inside its cell, except exactly on a bound where
-        the new direction may select the neighbour — ref adjust_wall)."""
+        the new direction may select the neighbour — ref adjust_wall).
+
+        Only EXACT bound equality re-disambiguates: a position fp-drifted
+        strictly past its bound keeps the stale cell.  That is safe because
+        the next find_wall's t >= 0 clamp then produces a zero-distance
+        corrective crossing into the true cell — a deliberate reliance on
+        the self-correcting crossing, not an oversight."""
         i1, i2, i3 = self.decode(cell)
 
         def axis(i, lo, hi, p, k, n):

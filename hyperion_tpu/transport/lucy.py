@@ -195,14 +195,17 @@ def run_lucy(geometry, dt, st, density, key, n_photons, n_iterations,
              convergence_percentile=100.0, initial_specific_energy=None,
              additional_specific_energy=None,
              use_mrw=False, mrw_gamma=1.0, n_mrw_max=1000,
-             use_pda=False, pda_tables=None, mesh=None,
+             use_pda=False, pda_tables=None, mesh=None, shard_grid=False,
              check_frequency=0.0, spectrum_bins=None,
              verbose=True, iteration_callback=None):
     """Run the Lucy loop: n_iterations (or until converged).
 
     ``density`` is (n_dust, n_cells); returns a LucyResult. With ``mesh``
     the photon batch is data-parallel over the devices (psum-reduced
-    accumulators; see parallel/mesh.py).
+    accumulators; see parallel/mesh.py).  With ``shard_grid`` the GRID is
+    additionally sharded over the mesh (slab decomposition + ppermute
+    packet exchange; see parallel/spatial.py) — the memory-scaling mode
+    the reference does not have.
     """
     from .engine import run_lucy_iteration
 
@@ -264,7 +267,17 @@ def run_lucy(geometry, dt, st, density, key, n_photons, n_iterations,
             from .mrw import prepare_mrw_tables
             mrw_tables = prepare_mrw_tables(dt, density, specific_energy,
                                             mrw_gamma, dtype)
-        if mesh is not None:
+        if mesh is not None and shard_grid:
+            from ..parallel.spatial import run_lucy_iteration_spatial
+            energy_sum, energy_current, n_photons_cell, killed_int, \
+                n_steps, energy_sum_spec = run_lucy_iteration_spatial(
+                    mesh, geometry, dt, st, density, jnu_var_id,
+                    jnu_var_frac, k_it, n_photons, batch_size, config_tuple,
+                    mrw=mrw_tables, spec_bins=spec_bins_dev,
+                    spec_bin_frac=spec_bin_frac_dev)
+            killed_geo = 0
+            n_events = 0
+        elif mesh is not None:
             from ..parallel.mesh import run_lucy_iteration_sharded
             energy_sum, energy_current, n_photons_cell, killed_int, \
                 killed_geo, n_steps, energy_sum_spec, n_events = \

@@ -40,7 +40,7 @@ def test_sharded_lucy_8_devices():
                                      jfrac, jax.random.PRNGKey(5), 80000,
                                      2048, CONFIG)
     energy_sum, energy_current, n_photons_cell, killed_int, killed_geo, \
-        n_steps, _spec = [np.asarray(o) for o in out]
+        n_steps, _spec, _ev = [np.asarray(o) for o in out]
     assert np.isclose(energy_current, 80000.0)
     assert killed_int == 0 and killed_geo == 0
 
