@@ -344,9 +344,13 @@ def run_model(model, filename, batch_size=None, dtype=None, parallel=False,
     if model.peeled_output or model.binned_output is not None:
         from .imaging_runner import run_imaging
         perf.start('imaging + raytracing')
+        # with zero Lucy iterations the user-supplied initial specific
+        # energy drives the imaging/mono/raytracing emission (ref: the
+        # engine reads the grid's specific_energy when n_initial_iter == 0)
+        se_img = iterations[-1]['specific_energy'] if iterations else \
+            (np.asarray(init_se) if init_se is not None else None)
         run_imaging(model, out, geometry, dt, st, density,
-                    iterations[-1]['specific_energy'] if iterations else None,
-                    batch_size, dtype, mesh=mesh)
+                    se_img, batch_size, dtype, mesh=mesh)
         n_img = (model.n_photons.get('last') or 0) + \
             (model.n_photons.get('last_sources') or 0) + \
             (model.n_photons.get('last_dust') or 0)

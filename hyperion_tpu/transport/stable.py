@@ -250,8 +250,21 @@ def build_source_tables(sources, dtype=jnp.float32, n_spec=1024,
         r['radius'] = r['radius'] / L
         r['bounds'] = np.asarray(r['bounds'], float) / L
     lum = np.array([r['luminosity'] for r in rows])
-    groups = np.array([r['group'] for r in rows])
+    groups = np.array([r['group'] for r in rows], dtype=int)
     n_groups = len(sources)
+    if len(rows) == 0:
+        # source-less model (legal for monochromatic dust-emission-only
+        # imaging, ref iter_final_mono.f90 source loop simply idles):
+        # a single zero-luminosity placeholder row keeps shapes static
+        nu0 = np.array([1e10, 1e15])
+        rows = [dict(code=POINT, luminosity=0.0, position=(0., 0., 0.),
+                     radius=0.0, limb=False, direction=(0.0, 0.0, 1.0),
+                     bounds=np.zeros((3, 2)), nu=nu0,
+                     cdf=np.array([0.0, 1.0]), group=0, lte=False,
+                     intersect=False)]
+        lum = np.array([0.0])
+        groups = np.array([0])
+        n_groups = 1
     if sample_evenly and n_groups > 1:
         # equal pick probability per top-level source, luminosity-split
         # within a collection; packets carry a compensating energy weight
@@ -260,7 +273,7 @@ def build_source_tables(sources, dtype=jnp.float32, n_spec=1024,
         lum_cdf = np.cumsum(p_row)
         energy_weight = l_group[groups] * n_groups / lum.sum()
     else:
-        lum_cdf = np.cumsum(lum) / lum.sum()
+        lum_cdf = np.cumsum(lum) / max(lum.sum(), 1e-300)
         energy_weight = np.ones(len(rows))
     lum_cdf[-1] = 1.0
     codes = np.array([r['code'] for r in rows], np.int32)

@@ -229,3 +229,76 @@ def test_mono_stokes_polarized_scattering(tmp_path):
     assert abs(float(np.sum(Q))) > 0
     assert 0 < float(linpol[0]) <= 1.0
     out.close()
+
+
+def test_mono_zero_prob(tmp_path):
+    """When the per-cell emission probability is zero for one dust at a
+    wavelength, the run must not crash (ref test_mono.py:10-36)."""
+    from hyperion_tpu.model import Model
+    from hyperion_tpu.model.run import run_model
+    dust = make_dust()
+    m = Model()
+    m.set_cartesian_grid([-1., 1.], [-1., 1.], [-1., 1.])
+    m.add_density_grid(np.array([[[1.]]]), dust)
+    m.add_density_grid(np.array([[[0.5]]]), dust, merge_if_possible=False)
+    image = m.add_peeled_images(sed=True, image=True)
+    image.set_image_limits(-2., 2., -2., 2.)
+    image.set_image_size(20, 20)
+    image.set_viewing_angles([45.], [45.])
+    m.set_minimum_temperature(10.)
+    m.set_monochromatic(True, wavelengths=[0.01, 0.1, 1., 10., 100., 1000.])
+    m.set_n_initial_iterations(0)
+    m.set_n_photons(imaging_sources=0, imaging_dust=100)
+    m.set_copy_input(False)
+    rtin = str(tmp_path / 'z.rtin')
+    rtout = str(tmp_path / 'z.rtout')
+    m.write(rtin)
+    run_model(Model.read(rtin), rtout)
+
+
+def test_mono_check_weighting(tmp_path):
+    """Regression (ref test_mono.py:39-95): monochromatic flux weighting
+    with multiple dust populations where one has zero mean_prob at a
+    frequency — the first population's SED must not change when a second,
+    optically-thin population is added."""
+    from hyperion_tpu.model import Model
+    from hyperion_tpu.model.run import run_model
+    from hyperion_tpu.model.model_output import ModelOutput
+    d = make_dust()
+
+    def build(two):
+        m = Model()
+        m.set_cartesian_grid([-1., 1.], [-1., 1.], [-1., 1.])
+        m.add_density_grid(np.array([[[1.e-10]]]), d,
+                           specific_energy=np.array([[[1.e8]]]))
+        if two:
+            m.add_density_grid(np.array([[[1.e-10]]]), d,
+                               specific_energy=np.array([[[1.e-4]]]),
+                               merge_if_possible=False)
+        image = m.add_peeled_images(sed=True, image=False)
+        image.set_viewing_angles([45.], [45.])
+        image.set_track_origin('detailed')
+        m.set_monochromatic(True, wavelengths=np.logspace(-1., 4., 10))
+        m.set_n_initial_iterations(0)
+        m.set_n_photons(imaging_sources=0, imaging_dust=50000)
+        m.set_copy_input(False)
+        return m
+
+    outs = []
+    for i, two in enumerate((True, False)):
+        m = build(two)
+        rtin = str(tmp_path / ('w%d.rtin' % i))
+        rtout = str(tmp_path / ('w%d.rtout' % i))
+        m.write(rtin)
+        run_model(Model.read(rtin), rtout)
+        outs.append(ModelOutput(rtout))
+    s1 = outs[0].get_sed(inclination=0, aperture=-1, component='dust_emit',
+                         dust_id=0)
+    s2 = outs[1].get_sed(inclination=0, aperture=-1, component='dust_emit',
+                         dust_id=0)
+    v1 = np.squeeze(np.asarray(s1.val))
+    v2 = np.squeeze(np.asarray(s2.val))
+    sel = (v1 > 0) & (v2 > 0)
+    assert sel.sum() >= 5
+    ratio = v1[sel] / v2[sel]
+    assert np.all((ratio < 1.05) & (1 / ratio < 1.05)), ratio
