@@ -255,14 +255,28 @@ class Model(FreezableClass, RunConf):
 
     # -- minimum temperature / energy ----------------------------------------
 
+    @staticmethod
+    def _validate_floor(value, name):
+        """Scalar-or-list positivity validation (ref model.py:979-1023:
+        'temperature should be positive' / 'should be a numerical value')."""
+        vals = value if isinstance(value, (list, tuple, np.ndarray)) \
+            else [value]
+        for v in vals:
+            if not np.isscalar(v) or isinstance(v, str):
+                raise ValueError("%s should be a numerical value" % name)
+            if not v > 0:
+                raise ValueError("%s should be positive" % name)
+
     def set_minimum_temperature(self, temperature):
         if self._minimum_specific_energy is not None:
             raise Exception("minimum specific energy has already been set")
+        self._validate_floor(temperature, 'temperature')
         self._minimum_temperature = temperature
 
     def set_minimum_specific_energy(self, specific_energy):
         if self._minimum_temperature is not None:
             raise Exception("minimum temperature has already been set")
+        self._validate_floor(specific_energy, 'specific_energy')
         self._minimum_specific_energy = specific_energy
 
     def _resolved_minimum_specific_energy(self, dusts):
@@ -270,12 +284,18 @@ class Model(FreezableClass, RunConf):
             mt = self._minimum_temperature
             if np.isscalar(mt):
                 mt = [mt] * len(dusts)
+            if len(mt) != len(dusts):
+                raise Exception("Number of minimum_temperature values "
+                                "should match number of dust types")
             return [float(d.temperature2specific_energy(t))
                     for d, t in zip(dusts, mt)]
         if self._minimum_specific_energy is not None:
             me = self._minimum_specific_energy
             if np.isscalar(me):
                 me = [me] * len(dusts)
+            if len(me) != len(dusts):
+                raise Exception("Number of minimum_specific_energy values "
+                                "should match number of dust types")
             return [float(e) for e in me]
         return None
 
@@ -364,10 +384,13 @@ class Model(FreezableClass, RunConf):
                 if isinstance(dust, str):
                     dust = SphericalDust(dust)
                 if dust.hash() in present:
+                    # group-RELATIVE soft link: an absolute /Dust/... path
+                    # would dangle when the .rtin is embedded under /Input
+                    # of the output file (ref main.f90:135-151 copy_input)
                     g_dust[short_name] = h5py.SoftLink(present[dust.hash()])
                 else:
                     dust.write(g_dust.create_group(short_name))
-                    present[dust.hash()] = '/Dust/' + short_name
+                    present[dust.hash()] = short_name
 
             min_se = self._resolved_minimum_specific_energy(self._dust_objects())
             if min_se is not None:

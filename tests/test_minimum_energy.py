@@ -1,0 +1,122 @@
+"""Minimum temperature / specific energy floors (ported from the
+reference's test_minimum_energy.py, 547 LoC): floor values applied per
+dust population, list/scalar forms, validation, and output temperatures."""
+
+import numpy as np
+import pytest
+
+from hyperion_tpu.model import Model
+from hyperion_tpu.model.run import run_model
+from hyperion_tpu.model.model_output import ModelOutput
+from hyperion_tpu.dust import IsotropicDust
+
+
+def _dust():
+    nu = np.logspace(np.log10(3e10), np.log10(5e16), 16)
+    d = IsotropicDust(nu, np.repeat(0.5, 16), np.repeat(10.0, 16))
+    d.set_lte_emissivities(n_temp=30, temp_min=0.1, temp_max=1600.)
+    return d
+
+
+def _model_noimaging(n_pop=1):
+    m = Model()
+    m.set_cartesian_grid([-1., 1.], [-1., 1.], [-1., 1.])
+    for _ in range(n_pop):
+        m.add_density_grid(np.array([[[1.e-30]]]), _dust(),
+                           merge_if_possible=False)
+    s = m.add_point_source()
+    s.luminosity = 1.
+    s.temperature = 6000.
+    m.set_n_initial_iterations(1)
+    m.set_n_photons(initial=500, imaging=0)
+    return m
+
+
+def _run(m, tmp_path):
+    rtin = str(tmp_path / 'm.rtin')
+    rtout = str(tmp_path / 'm.rtout')
+    m.write(rtin)
+    m2 = Model.read(rtin)
+    m2.filename = rtin
+    run_model(m2, rtout)
+    return ModelOutput(rtout)
+
+
+def test_minimum_temperature_scalar(tmp_path):
+    m = _model_noimaging()
+    m.set_minimum_temperature(10.)
+    out = _run(m, tmp_path)
+    t = out.get_quantities()['temperature']
+    assert np.allclose(np.asarray(t[0].array).min(), 10., rtol=1e-5)
+
+
+def test_minimum_temperature_scalar_list(tmp_path):
+    m = _model_noimaging()
+    m.set_minimum_temperature([10.])
+    out = _run(m, tmp_path)
+    t = out.get_quantities()['temperature']
+    assert np.allclose(np.asarray(t[0].array).min(), 10., rtol=1e-5)
+
+
+def test_minimum_temperature_invalid_negative():
+    m = _model_noimaging()
+    with pytest.raises(Exception):
+        m.set_minimum_temperature(-10.)
+
+
+def test_minimum_temperature_invalid_string():
+    m = _model_noimaging()
+    with pytest.raises(Exception):
+        m.set_minimum_temperature('a')
+
+
+def test_minimum_temperature_invalid_list_negative():
+    m = _model_noimaging()
+    with pytest.raises(Exception):
+        m.set_minimum_temperature([-10.])
+
+
+def test_minimum_temperature_count_mismatch(tmp_path):
+    m = _model_noimaging()
+    m.set_minimum_temperature([10., 10.])
+    with pytest.raises(Exception):
+        m.write(str(tmp_path / 'm.rtin'))
+
+
+def test_minimum_temperature_two_pops(tmp_path):
+    m = _model_noimaging(n_pop=2)
+    m.set_minimum_temperature([10., 8.])
+    out = _run(m, tmp_path)
+    t = out.get_quantities()['temperature']
+    assert np.allclose(np.asarray(t[0].array).min(), 10., rtol=1e-5)
+    assert np.allclose(np.asarray(t[1].array).min(), 8., rtol=1e-5)
+
+
+def test_minimum_temperature_two_pops_count_mismatch(tmp_path):
+    m = _model_noimaging(n_pop=2)
+    m.set_minimum_temperature([10., 8., 6.])
+    with pytest.raises(Exception):
+        m.write(str(tmp_path / 'm.rtin'))
+
+
+def test_minimum_specific_energy_scalar(tmp_path):
+    m = _model_noimaging()
+    m.set_minimum_specific_energy(2.)
+    out = _run(m, tmp_path)
+    se = out.get_quantities()['specific_energy']
+    assert np.asarray(se[0].array).min() >= 2. * (1 - 1e-6)
+
+
+def test_minimum_specific_energy_two_pops(tmp_path):
+    m = _model_noimaging(n_pop=2)
+    m.set_minimum_specific_energy([2., 3.])
+    out = _run(m, tmp_path)
+    se = out.get_quantities()['specific_energy']
+    assert np.asarray(se[0].array).min() >= 2. * (1 - 1e-6)
+    assert np.asarray(se[1].array).min() >= 3. * (1 - 1e-6)
+
+
+def test_minimum_specific_energy_invalid():
+    m = _model_noimaging()
+    with pytest.raises(Exception):
+        m.set_minimum_specific_energy(-1.)
