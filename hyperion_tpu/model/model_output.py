@@ -405,4 +405,9 @@ class ModelOutput(FreezableClass):
         n_iter = self._last_iteration()
         if iteration < 0:
             iteration = n_iter + iteration + 1
-        return list(self.file['iteration_%05i' % iteration])
+        components = list(self.file['iteration_%05i' % iteration])
+        # temperature is derived from specific_energy through the dust model
+        # (ref model_output.py get_available_components)
+        if 'specific_energy' in components:
+            components.append('temperature')
+        return components

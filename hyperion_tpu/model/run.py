@@ -256,6 +256,9 @@ def run_model(model, filename, batch_size=None, dtype=None, parallel=False,
                                       if se_spectrum is not None else None)))
 
     n_initial = model.n_photons.get('initial', 0)
+    # original physical density for the density_diff output (the engine
+    # array carries the length_scale factor)
+    density0 = np.asarray(density, float) / geometry.length_scale
     result = None
     if model.n_iterations > 0 and n_initial > 0:
         result = run_lucy(
@@ -311,6 +314,12 @@ def run_model(model, filename, batch_size=None, dtype=None, parallel=False,
                                 io_dtype=io_dtype)
         if want(oc.output_density):
             _write_grid_dataset(g, 'density', itdata['density'], model.grid,
+                                io_dtype=io_dtype)
+        if want(oc.output_density_diff):
+            # density - original density (nonzero after sublimation; ref
+            # grid_generic.f90:114-120)
+            diff = np.asarray(itdata['density']) - np.asarray(density0)
+            _write_grid_dataset(g, 'density_diff', diff, model.grid,
                                 io_dtype=io_dtype)
         if want(oc.output_n_photons):
             _write_grid_dataset(g, 'n_photons', itdata['n_photons'],

@@ -120,3 +120,35 @@ def test_minimum_specific_energy_invalid():
     m = _model_noimaging()
     with pytest.raises(Exception):
         m.set_minimum_specific_energy(-1.)
+
+
+@pytest.mark.parametrize('output', ['density', 'density_diff', 'n_photons',
+                                    'specific_energy'])
+def test_output_grids_exist(tmp_path, output):
+    """Each OutputConf switch materializes its dataset in the rtout (ref
+    test_output_physical.py:12-37; density_diff was previously accepted
+    but never written)."""
+    m = _model_noimaging()
+    m.conf.output.output_density = 'last' if output == 'density' else 'none'
+    m.conf.output.output_density_diff = \
+        'last' if output == 'density_diff' else 'none'
+    m.conf.output.output_n_photons = \
+        'last' if output == 'n_photons' else 'none'
+    m.conf.output.output_specific_energy = \
+        'last' if output == 'specific_energy' else 'none'
+    out = _run(m, tmp_path)
+    assert output in out.get_available_components()
+    out.get_quantities()[output]
+    if output == 'specific_energy':
+        assert 'temperature' in out.get_available_components()
+        out.get_quantities()['temperature']
+
+
+def test_output_grids_density_roundtrip(tmp_path):
+    """The output density equals the input density when nothing sublimates
+    (ref test_output_physical.py:40-60)."""
+    m = _model_noimaging()
+    m.conf.output.output_density = 'last'
+    out = _run(m, tmp_path)
+    rho = np.asarray(out.get_quantities()['density'][0].array)
+    np.testing.assert_allclose(rho, 1.e-30, rtol=1e-6)
