@@ -60,6 +60,29 @@ class linked:
         object.__setattr__(obj, self.slot, value)
 
 
+class scalar_attribute:
+    """Validated plain scalar attribute (ref: the reference validates every
+    density property setter — 'x should be positive' / 'x should be a
+    numerical value' / 'x should be a scalar value')."""
+
+    def __init__(self, name, positive=True, doc=None):
+        self.name = name
+        self.slot = "_sv_" + name
+        self.positive = positive
+        self.__doc__ = doc
+
+    def __get__(self, obj, owner=None):
+        if obj is None:
+            return self
+        return getattr(obj, self.slot, None)
+
+    def __set__(self, obj, value):
+        if value is not None:
+            validate_scalar(self.name, value,
+                            domain="positive" if self.positive else None)
+        object.__setattr__(obj, self.slot, value)
+
+
 class radius_attribute:
     """rmin/rmax-style attribute accepting a float or an OptThinRadius.
 
@@ -155,6 +178,13 @@ class Disk(Density):
 
     _required = ("rmin", "rmax", "h_0", "r_0")
     _pairs = (("mass", "rho_0"),)
+
+    p = scalar_attribute("p", positive=False,
+                         doc="Surface-density radial exponent.")
+    beta = scalar_attribute("beta", positive=False,
+                            doc="Scale-height flaring exponent.")
+    h_0 = scalar_attribute("h_0", doc="Scale height at r_0 (cm).")
+    r_0 = scalar_attribute("r_0", doc="Reference radius (cm).")
 
     mass = linked("mass", "rho_0", "_mass_per_rho0", forward=True,
                   doc="Total disk mass (g).")

@@ -15,6 +15,11 @@ __all__ = ["PowerLawEnvelope"]
 
 class PowerLawEnvelope(Envelope):
 
+    from .core import scalar_attribute as _sa
+    power = _sa("power", positive=False, doc="Density radial exponent.")
+    r_0 = _sa("r_0", doc="Reference radius (cm).")
+    del _sa
+
     _required = ("rmin", "rmax", "r_0", "power")
     _pairs = (("mass", "rho_0"),)
 

@@ -59,6 +59,10 @@ def solve_mu0(ratio, mu):
 
 class UlrichEnvelope(Envelope):
 
+    from .core import scalar_attribute as _sa
+    rc = _sa("rc", doc="Centrifugal radius (cm).")
+    del _sa
+
     _required = ("rmin", "rmax", "rc")
     _pairs = (("mdot", "rho_0"),)
 

@@ -40,7 +40,11 @@ class FreezableClass(object):
     def __setattr__(self, key, value):
         if self._final:
             raise Exception("Attribute %s can no longer be changed" % key)
-        if self._frozen and not hasattr(self, key):
+        # existence check must not INVOKE instance getters: derived
+        # properties (e.g. a disk's rho_0 computed from mass) may
+        # legitimately raise while the object is half-configured
+        if self._frozen and not (key in self.__dict__
+                                 or hasattr(type(self), key)):
             raise AttributeError("Attribute %s does not exist" % key)
         object.__setattr__(self, key, value)
 
