@@ -17,7 +17,47 @@ from ..util.interpolate import (interp1d_fast, interp1d_fast_linlog,
                                 interp1d_fast_loglog)
 
 
+class _vec:
+    """Validated 1-D table attribute (ref: the reference's setters raise
+    '<name> should be a 1-D sequence' / 'monotonically increasing' /
+    range errors). Monotonically DEcreasing input is accepted — ``_sort``
+    flips it — but unsorted input is rejected."""
+
+    def __init__(self, name, lo=None, hi=None, monotonic=False):
+        self.name = name
+        self.slot = "_v_" + name
+        self.lo = lo
+        self.hi = hi
+        self.monotonic = monotonic
+
+    def __get__(self, obj, owner=None):
+        if obj is None:
+            return self
+        return getattr(obj, self.slot, None)
+
+    def __set__(self, obj, value):
+        if value is not None:
+            value = np.asarray(value, dtype=float)
+            if value.ndim != 1:
+                raise ValueError("%s should be a 1-D sequence" % self.name)
+            if self.lo is not None and np.any(value < self.lo):
+                raise ValueError("%s should be >= %g" % (self.name, self.lo))
+            if self.hi is not None and np.any(value > self.hi):
+                raise ValueError("%s should be <= %g" % (self.name, self.hi))
+            if self.monotonic and len(value) > 1:
+                d = np.diff(value)
+                if not (np.all(d > 0) or np.all(d < 0)):
+                    raise ValueError("%s should be monotonically increasing"
+                                     % self.name)
+        object.__setattr__(obj, self.slot, value)
+
+
 class OpticalProperties(FreezableClass):
+
+    nu = _vec("nu", lo=0.0, monotonic=True)
+    chi = _vec("chi", lo=0.0)
+    albedo = _vec("albedo", lo=0.0, hi=1.0)
+    mu = _vec("mu", lo=-1.0, hi=1.0, monotonic=True)
 
     def __init__(self):
         # Frequency grid (Hz), ascending after _sort()
