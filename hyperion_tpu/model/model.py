@@ -71,7 +71,10 @@ class Model(FreezableClass, RunConf):
                 raise Exception("Cannot specify both wavelengths and frequencies")
             elif wavelengths is not None:
                 from ..util.constants import c
-                frequencies = np.sort(c / (np.asarray(wavelengths, float) * 1.e-4))
+                # keep the USER's wavelength order (the reference writes
+                # frequencies as c/wav without sorting, so the output SED
+                # frequency axis matches the requested wavelength list)
+                frequencies = c / (np.asarray(wavelengths, float) * 1.e-4)
             elif frequencies is None:
                 raise Exception("Need to specify wavelengths or frequencies")
             self._frequencies = np.asarray(frequencies, float)
