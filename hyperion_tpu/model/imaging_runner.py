@@ -9,7 +9,7 @@ import numpy as np
 
 
 def run_imaging(model, out, geometry, dt, st, density, specific_energy,
-                batch_size, dtype, mesh=None):
+                batch_size, dtype, mesh=None, user_batch_size=None):
     import jax
     import jax.numpy as jnp
     from ..transport.imaging import (build_peel_group, build_binned_group,
@@ -27,7 +27,7 @@ def run_imaging(model, out, geometry, dt, st, density, specific_energy,
     if model._monochromatic:
         _run_imaging_mono(model, out, geometry, dt, st, density,
                           specific_energy, groups, batch_size, dtype,
-                          mesh=mesh)
+                          mesh=mesh, user_batch_size=user_batch_size)
         return
 
     n_phot = model.n_photons.get('last')
@@ -115,7 +115,8 @@ def run_imaging(model, out, geometry, dt, st, density, specific_energy,
 
 
 def _run_imaging_mono(model, out, geometry, dt, st, density, specific_energy,
-                      groups, batch_size, dtype, mesh=None):
+                      groups, batch_size, dtype, mesh=None,
+                      user_batch_size=None):
     """Monochromatic imaging: exact-frequency source + dust passes
     (ref: do_final_mono; dispatched from main.f90:272-274)."""
     import jax
@@ -124,11 +125,14 @@ def _run_imaging_mono(model, out, geometry, dt, st, density, specific_energy,
 
     n_src = model.n_photons.get('last_sources', 0)
     n_dustp = model.n_photons.get('last_dust', 0)
-    # each (frequency, pass) runs its photon budget as one batch; a batch
-    # much wider than the budget just drags dead lanes through every peel
-    # walk (mono budgets are per-frequency and often small)
     per_pass = max(n_src, n_dustp, 1)
-    if batch_size is None or batch_size > per_pass:
+    if user_batch_size is not None:
+        # an explicitly user-supplied batch_size is honored even when wider
+        # than the per-frequency budget
+        batch_size = user_batch_size
+    elif batch_size is None or batch_size > per_pass:
+        # a batch much wider than the per-frequency budget just drags dead
+        # lanes through every peel walk; clamp the auto default
         batch_size = max(1024, 1 << (per_pass - 1).bit_length())
     se = None
     if specific_energy is not None:

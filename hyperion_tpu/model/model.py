@@ -262,10 +262,10 @@ class Model(FreezableClass, RunConf):
     def _validate_floor(value, name):
         """Scalar-or-list positivity validation (ref model.py:979-1023:
         'temperature should be positive' / 'should be a numerical value')."""
-        vals = value if isinstance(value, (list, tuple, np.ndarray)) \
-            else [value]
-        for v in vals:
-            if not np.isscalar(v) or isinstance(v, str):
+        for v in np.atleast_1d(value):
+            # np.isscalar is False for 0-d array scalars; test numeric-ness
+            # with isreal/ndim so np.float64(10.) and np.asarray(10.) validate
+            if not (np.ndim(v) == 0 and np.isreal(v)) or isinstance(v, str):
                 raise ValueError("%s should be a numerical value" % name)
             if not v > 0:
                 raise ValueError("%s should be positive" % name)
@@ -285,7 +285,7 @@ class Model(FreezableClass, RunConf):
     def _resolved_minimum_specific_energy(self, dusts):
         if self._minimum_temperature is not None:
             mt = self._minimum_temperature
-            if np.isscalar(mt):
+            if np.ndim(mt) == 0:
                 mt = [mt] * len(dusts)
             if len(mt) != len(dusts):
                 raise Exception("Number of minimum_temperature values "
@@ -294,7 +294,7 @@ class Model(FreezableClass, RunConf):
                     for d, t in zip(dusts, mt)]
         if self._minimum_specific_energy is not None:
             me = self._minimum_specific_energy
-            if np.isscalar(me):
+            if np.ndim(me) == 0:
                 me = [me] * len(dusts)
             if len(me) != len(dusts):
                 raise Exception("Number of minimum_specific_energy values "

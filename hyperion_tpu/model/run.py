@@ -225,6 +225,7 @@ def run_model(model, filename, batch_size=None, dtype=None, parallel=False,
     n_cells = density.shape[1]
     _validate_model(geometry, st, dt)
 
+    user_batch_size = batch_size
     if batch_size is None:
         # Heuristic: large enough to fill the VPU, bounded by photon count
         n_init = model.n_photons.get('initial', 100000)
@@ -249,8 +250,11 @@ def run_model(model, filename, batch_size=None, dtype=None, parallel=False,
                  steps=stats.get('n_steps'),
                  lanes=stats.get('batch_size'))
         _iter_t.append(now)
+        # the engine density array carries the length_scale factor; store the
+        # physical density so written datasets don't depend on the extent
         iterations.append(dict(
-            specific_energy=se.copy(), density=rho.copy(),
+            specific_energy=se.copy(),
+            density=np.asarray(rho, float) / geometry.length_scale,
             n_photons=n_photons_cell.copy(),
             specific_energy_spectrum=(se_spectrum.copy()
                                       if se_spectrum is not None else None)))
@@ -359,7 +363,8 @@ def run_model(model, filename, batch_size=None, dtype=None, parallel=False,
         se_img = iterations[-1]['specific_energy'] if iterations else \
             (np.asarray(init_se) if init_se is not None else None)
         run_imaging(model, out, geometry, dt, st, density,
-                    se_img, batch_size, dtype, mesh=mesh)
+                    se_img, batch_size, dtype, mesh=mesh,
+                    user_batch_size=user_batch_size)
         n_img = (model.n_photons.get('last') or 0) + \
             (model.n_photons.get('last_sources') or 0) + \
             (model.n_photons.get('last_dust') or 0)

@@ -344,6 +344,10 @@ def lucy_iteration_spatial_impl(geometry, dt, st, density_local, jid_local,
         n_inter = p['n_inter'] + interacting.astype(jnp.int32)
         n_mrw = jnp.where(interacting, 0, p['n_mrw'])
         killed_now = interacting & (n_inter > config['n_inter_max'])
+        # same kill semantics as the replicated engine (engine.py:660-662)
+        kill_flag = (config['kill_on_scatter'] & evt['scattered']) | \
+                    (config['kill_on_absorb'] & absorbed)
+        killed_now = killed_now | (interacting & kill_flag)
         alive = p['alive'] & ~escaped & ~killed_now & ~hits_src
 
         if reabs_on:

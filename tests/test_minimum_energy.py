@@ -152,3 +152,27 @@ def test_output_grids_density_roundtrip(tmp_path):
     out = _run(m, tmp_path)
     rho = np.asarray(out.get_quantities()['density'][0].array)
     np.testing.assert_allclose(rho, 1.e-30, rtol=1e-6)
+
+
+def test_output_density_roundtrip_nonunit_extent(tmp_path):
+    """Density and density_diff are written in physical units on grids whose
+    extent gives a non-unit engine length scale (the engine array carries a
+    length_scale factor that must be divided back out; ref grid output is
+    always physical, grid_generic.f90:114-120)."""
+    from hyperion_tpu.util.constants import au
+    m = Model()
+    m.set_cartesian_grid([-au, au], [-au, au], [-au, au])
+    m.add_density_grid(np.array([[[1.e-16]]]), _dust())
+    s = m.add_point_source()
+    s.luminosity = 1.
+    s.temperature = 6000.
+    m.set_n_initial_iterations(1)
+    m.set_n_photons(initial=500, imaging=0)
+    m.conf.output.output_density = 'last'
+    m.conf.output.output_density_diff = 'last'
+    out = _run(m, tmp_path)
+    q = out.get_quantities()
+    rho = np.asarray(q['density'][0].array)
+    np.testing.assert_allclose(rho, 1.e-16, rtol=1e-6)
+    diff = np.asarray(q['density_diff'][0].array)
+    assert np.abs(diff).max() <= 1.e-16 * 1e-6

@@ -47,7 +47,7 @@ def test_mono_source_optically_thin(tmp_path):
     sed = out.get_sed(inclination=0, aperture=-1)
     assert sed.val.shape == (len(wavelengths),)
     T = 6000.0
-    nu = np.sort(c / (np.asarray(wavelengths) * 1.e-4))
+    nu = np.asarray(sed.nu)  # SED frequency axis is in user wavelength order
     expected = nu * lsun * pi * B_nu(nu, T) / (sigma * T ** 4)
     assert np.allclose(sed.val, expected, rtol=1e-2)
     out.close()
@@ -71,7 +71,7 @@ def test_mono_source_extinction(tmp_path):
     tmax = np.min(lim / np.abs(d))
     tau = 2.0 * rho * tmax  # chi = 2
     T = 6000.0
-    nu = np.sort(c / (np.asarray(wavelengths) * 1.e-4))
+    nu = np.asarray(sed.nu)  # SED frequency axis is in user wavelength order
     expected = nu * lsun * pi * B_nu(nu, T) / (sigma * T ** 4) * np.exp(-tau)
     assert np.allclose(sed.val, expected, rtol=5e-2)
     out.close()
@@ -86,7 +86,7 @@ def test_mono_scattering_conserves_flux_direction_avg(tmp_path):
     out = m.run()
     sed = out.get_sed(inclination=0, aperture=-1)
     T = 6000.0
-    nu = np.sort(c / (np.asarray(wavelengths) * 1.e-4))
+    nu = np.asarray(sed.nu)  # SED frequency axis is in user wavelength order
     expected = nu * lsun * pi * B_nu(nu, T) / (sigma * T ** 4)
     # scattered light roughly fills in what extinction removes (isotropic
     # scattering, quasi-spherical geometry): within 15%
@@ -139,7 +139,7 @@ def test_mono_raytracing_matches_mc_direct(tmp_path):
     out = m.run()
     sed_out = out.get_sed(inclination=0, aperture=-1)
     T = 6000.0
-    nu = np.sort(c / (np.asarray(wavelengths) * 1.e-4))
+    nu = np.asarray(sed_out.nu)  # SED frequency axis is in user wavelength order
     expected = nu * lsun * pi * B_nu(nu, T) / (sigma * T ** 4)
     # raytraced direct light is noise-free: tight tolerance
     assert np.allclose(sed_out.val, expected, rtol=2e-2)
