@@ -20,7 +20,7 @@ import jax
 import jax.numpy as jnp
 
 from .gtable import ESCAPED
-from .sampling import searchsorted_small
+from .sampling import searchsorted_small, scatter_add_matmul
 from .sampling import (isotropic_direction, random_exp, rotate_direction,
                        sample_quantile_rows, searchsorted_rows, interp_loglog)
 from .mrw import sample_min09
@@ -236,6 +236,33 @@ def mrw_jump_update(dt, mrw, keys, mrw_now, x, y, z, energy, chi, d_close,
     return deps, x_m, y_m, z_m, nk, nu_m, chi_m, kappa_m, alb_m
 
 
+def visit_update(last_uid_cell, n_photons_cell, idx, uid, use_matmul):
+    """Unique-photon visit accounting (ref last_photon_id dedup,
+    grid_propagate_3d.f90:91-97): count a cell visit only when a DIFFERENT
+    photon enters; record the entrant's uid.  ``idx`` uses n_cells as the
+    drop slot.  The matmul/compare-sum path replaces three serialized
+    scatter/gather ops with broadcast reductions (winner = max uid instead
+    of scatter-order-arbitrary — both are valid dedup tie-breaks)."""
+    n_cells = n_photons_cell.shape[0]
+    if use_matmul:
+        cols = jnp.arange(n_cells + 1, dtype=jnp.int32)[None, :]
+        oh = idx[:, None] == cols
+        prev = jnp.sum(jnp.where(oh, last_uid_cell[None, :], 0), axis=1)
+        fresh = prev != uid
+        counts = jnp.sum((oh & fresh[:, None]).astype(n_photons_cell.dtype),
+                         axis=0)[:n_cells]
+        n_photons_cell = n_photons_cell + counts
+        sentinel = jnp.asarray(jnp.iinfo(jnp.int32).min, jnp.int32)
+        newuid = jnp.max(jnp.where(oh, uid[:, None], sentinel), axis=0)
+        last_uid_cell = jnp.where(newuid > sentinel, newuid, last_uid_cell)
+        return last_uid_cell, n_photons_cell
+    fresh = last_uid_cell[idx] != uid
+    n_photons_cell = n_photons_cell.at[
+        jnp.where(fresh, idx, n_cells)].add(1, mode='drop')
+    last_uid_cell = last_uid_cell.at[idx].set(uid, mode='drop')
+    return last_uid_cell, n_photons_cell
+
+
 def make_lucy_step(geometry, dt, st, density, jnu_var_id, jnu_var_frac,
                    config, mrw=None, se_rho=None, spec_bins=None,
                    spec_bin_frac=None):
@@ -259,6 +286,10 @@ def make_lucy_step(geometry, dt, st, density, jnu_var_id, jnu_var_frac,
     n_cells = density.shape[1]
     spec_on = spec_bins is not None
     n_bins = int(spec_bins.shape[0]) - 1 if spec_on else 0
+    # One-hot-matmul deposits/visit-stats materialize a (B, n_cells)
+    # mask per step: a clear win for small grids (the MXU replaces the
+    # serialized per-lane scatter), a bandwidth loss for big ones.
+    use_matmul_stats = n_cells <= 8192
 
     # ---- packed per-cell lookup table -----------------------------------
     # TPU gathers serialize per lane (~10 ns each) no matter how little data
@@ -413,12 +444,9 @@ def make_lucy_step(geometry, dt, st, density, jnu_var_id, jnu_var_frac,
         # errors out; the model layer validates sources are inside the grid)
         emit_idx = jnp.where(can_fresh & (cell_new != ESCAPED), cell_new,
                              n_cells)
-        prev_uid = carry.last_uid_cell[emit_idx]
-        fresh_visit = prev_uid != packets.uid
-        n_photons_cell = carry.n_photons_cell.at[
-            jnp.where(fresh_visit, emit_idx, n_cells)].add(1, mode='drop')
-        last_uid_cell = carry.last_uid_cell.at[emit_idx].set(
-            packets.uid, mode='drop')
+        last_uid_cell, n_photons_cell = visit_update(
+            carry.last_uid_cell, carry.n_photons_cell, emit_idx, packets.uid,
+            use_matmul_stats)
         killed_int = carry.killed_int
         if reabs_on:
             killed_int = killed_int + jnp.sum(
@@ -477,7 +505,7 @@ def make_lucy_step(geometry, dt, st, density, jnu_var_id, jnu_var_frac,
             mrw_now = active & (p.n_inter >= 1) & (tau_close > mrw.gamma)
 
             def mrw_branch(ops):
-                carry, p = ops
+                carry, p, _ = ops
                 # shared Min+09 move (also used by the spatial step)
                 deps, x_m, y_m, z_m, (nkx, nky, nkz), nu_m, chi_m, \
                     kappa_m, alb_m = mrw_jump_update(
@@ -485,13 +513,12 @@ def make_lucy_step(geometry, dt, st, density, jnu_var_id, jnu_var_frac,
                         mrw_now, p.x, p.y, p.z, p.energy, p.chi, d_close,
                         alpha_inv, kappa_p_rows, rho_rows, vid_rows,
                         vfrac_rows, dtype)
+                # the Lucy deposits ride the shared end-of-step deposit
+                # (the MRW lanes are disjoint from the moving lanes)
                 dep_idx_m = jnp.where(mrw_now, cell_safe, n_cells)
-                energy_sum_m = carry.energy_sum
                 energy_spec_m = carry.energy_sum_spec
                 for d in range(n_dust):
                     dep = deps[d]
-                    energy_sum_m = energy_sum_m.at[d, dep_idx_m].add(
-                        dep, mode='drop')
                     if spec_on and spec_bin_frac is not None:
                         # distribute over bins by local emissivity, linearly
                         # interpolated between the two bracketing states
@@ -506,8 +533,7 @@ def make_lucy_step(geometry, dt, st, density, jnu_var_id, jnu_var_frac,
                                 vf * fr_flat[row1 + b]
                             energy_spec_m = energy_spec_m.at[
                                 d, b, dep_idx_m].add(dep * fb, mode='drop')
-                carry = carry._replace(energy_sum=energy_sum_m,
-                                       energy_sum_spec=energy_spec_m)
+                carry = carry._replace(energy_sum_spec=energy_spec_m)
                 n_mrw_new = p.n_mrw + mrw_now.astype(jnp.int32)
                 killed_mrw = mrw_now & (n_mrw_new > config['n_mrw_max'])
                 # the jump sphere touches the nearest wall: relocate with
@@ -533,12 +559,13 @@ def make_lucy_step(geometry, dt, st, density, jnu_var_id, jnu_var_frac,
                 carry = carry._replace(
                     killed_int=carry.killed_int +
                     jnp.sum(killed_mrw.astype(carry.killed_int.dtype)))
-                return carry, p
+                return carry, p, jnp.stack(deps)
 
             # the whole diffusion move is gated on any lane triggering it —
             # optically thin stretches of an iteration pay nothing for MRW
-            carry, p = jax.lax.cond(jnp.any(mrw_now), mrw_branch,
-                                    lambda ops: ops, (carry, p))
+            carry, p, mrw_deps = jax.lax.cond(
+                jnp.any(mrw_now), mrw_branch, lambda ops: ops,
+                (carry, p, jnp.zeros((n_dust,) + p.x.shape, dtype)))
             # lanes that just did an MRW step skip normal propagation
             active = p.alive & ~mrw_now
 
@@ -586,14 +613,26 @@ def make_lucy_step(geometry, dt, st, density, jnu_var_id, jnu_var_frac,
                                       side='right') - 1
             bin_ok = (ibin >= 0) & (ibin < n_bins)
             ibin_safe = jnp.clip(ibin, 0, n_bins - 1)
+        dep_rows = []
         for d in range(n_dust):
             dep = jnp.where(moving & (rho_rows[:, d] > 0.0),
                             d_move * p.kappa[:, d] * p.energy, 0.0)
-            energy_sum = energy_sum.at[d, dep_idx].add(dep, mode='drop')
+            # the MRW branch's Lucy deposits (disjoint lanes, same cell)
+            # ride this one shared deposit
+            dep_rows.append((dep + mrw_deps[d]) if mrw is not None else dep)
             if spec_on:
                 energy_sum_spec = energy_sum_spec.at[
                     d, ibin_safe, jnp.where(bin_ok, dep_idx, n_cells)
                 ].add(dep, mode='drop')
+        if use_matmul_stats:
+            # masked lanes carry dep == 0, so depositing at cell_safe is a
+            # numerical no-op for them — no drop slot needed
+            energy_sum = scatter_add_matmul(energy_sum, cell_safe,
+                                            jnp.stack(dep_rows))
+        else:
+            for d in range(n_dust):
+                energy_sum = energy_sum.at[d, cell_safe].add(dep_rows[d],
+                                                             mode='drop')
 
         # --- move (masked: MRW-jumped lanes already moved this step) ---
         x = jnp.where(moving, p.x + d_move * p.kx, p.x)
@@ -613,11 +652,9 @@ def make_lucy_step(geometry, dt, st, density, jnu_var_id, jnu_var_frac,
         # enters the cell than the one recorded there
         enter_idx = jnp.where(moving & hits_wall & (cell != ESCAPED), cell,
                               n_cells)
-        fresh_visit = carry.last_uid_cell[enter_idx] != p.uid
-        n_photons_cell = carry.n_photons_cell.at[
-            jnp.where(fresh_visit, enter_idx, n_cells)].add(1, mode='drop')
-        last_uid_cell = carry.last_uid_cell.at[enter_idx].set(
-            p.uid, mode='drop')
+        last_uid_cell, n_photons_cell = visit_update(
+            carry.last_uid_cell, carry.n_photons_cell, enter_idx, p.uid,
+            use_matmul_stats)
 
         # --- interaction (absorb+re-emit or scatter): shared physics ---
         interacting = moving & ~hits_wall

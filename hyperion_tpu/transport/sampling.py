@@ -14,6 +14,58 @@ import jax
 import jax.numpy as jnp
 
 
+def select_small(table, j, max_materialize=1024):
+    """``table[j]`` for a SMALL shared 1-D table without a serialized gather.
+
+    Per-lane random-access gathers serialize on TPU (~10 ns/lane); a
+    broadcast compare + masked row-sum is a pure VPU fusion. Exact: the sum
+    has exactly one non-zero term per lane."""
+    n = int(table.shape[0])
+    if n > max_materialize:
+        return table[j]
+    idx = jnp.arange(n, dtype=jnp.int32)
+    shape = (1,) * j.ndim + (n,)
+    mask = j[..., None] == idx.reshape(shape)
+    return jnp.sum(jnp.where(mask, table.reshape(shape), 0), axis=-1)
+
+
+def gather_rows_matmul(table, rows, max_rows=1024):
+    """``table[rows]`` (row gather from a (n_rows, K) table) as a one-hot
+    matmul on the MXU.
+
+    With ``Precision.HIGHEST`` the bf16-pass f32 emulation is BIT-EXACT for
+    a one-hot operand (verified on v5e): each output element is a single
+    1.0*value product accumulated with zeros. TPU row gathers serialize per
+    lane; the MXU does the same job at matmul throughput. Falls back to the
+    native gather for large row counts where the one-hot would dominate."""
+    n_rows = int(table.shape[0])
+    if n_rows > max_rows:
+        return table[rows]
+    oh = (rows[:, None] == jnp.arange(n_rows, dtype=jnp.int32)[None, :]
+          ).astype(table.dtype)
+    return jnp.dot(oh, table, preferred_element_type=table.dtype,
+                   precision=jax.lax.Precision.HIGHEST)
+
+
+def scatter_add_matmul(acc, idx, vals):
+    """``acc.at[idx].add(vals, mode='drop')`` over the last axis via a
+    one-hot matmul.
+
+    ``acc``: (..., n) accumulator; lanes whose ``idx`` falls outside
+    [0, n) match no one-hot column and drop naturally. ``vals``: (..., B)
+    with leading axes matching ``acc``. Products are exact (one-hot);
+    only the accumulation ORDER differs from a serialized scatter-add, so
+    results match to f32 rounding. The MXU turns the serialized per-lane
+    scatter into one matmul."""
+    n_tot = int(acc.shape[-1])
+    oh = (idx[:, None] == jnp.arange(n_tot, dtype=jnp.int32)[None, :]
+          ).astype(acc.dtype)
+    v2 = vals if vals.ndim == 2 else vals[None, :]
+    add = jnp.dot(v2, oh, preferred_element_type=acc.dtype,
+                  precision=jax.lax.Precision.HIGHEST)
+    return acc + (add if vals.ndim == 2 else add[0])
+
+
 def searchsorted_small(table, x, side='right', max_materialize=1024):
     """``jnp.searchsorted`` replacement for SMALL shared tables.
 
@@ -45,6 +97,15 @@ def searchsorted_rows(table, rows, x, n=None):
     flat = table.reshape(-1)
     if n is None:
         n = n_cols
+    if n_rows <= 8 and n_cols <= 256 and n == n_cols:
+        # select the lane's row by compare-sum (n_rows tiny), then count
+        # entries <= x — a pure VPU fusion instead of log2(n) serialized
+        # per-lane gathers
+        sel = jnp.zeros(x.shape + (n_cols,), dtype=table.dtype)
+        for r in range(n_rows):
+            sel = sel + jnp.where((rows == r)[..., None], table[r][None, :],
+                                  0)
+        return jnp.sum((sel <= x[..., None]).astype(jnp.int32), axis=-1)
     lo = jnp.zeros(x.shape, dtype=jnp.int32)
     hi = jnp.full(x.shape, n, dtype=jnp.int32)
     n_steps = int(n).bit_length()
@@ -124,15 +185,23 @@ def sample_quantile_rows(qtab, rows, xi, exp2=False):
     1/K), which keeps heavy log-frequency tails faithful. With ``exp2`` the
     table holds log2(x) and interpolation is log-linear via a single exp2.
     """
-    K = qtab.shape[1]
+    n_rows, K = qtab.shape
     t = jnp.arccos(jnp.clip(1.0 - 2.0 * xi, -1.0, 1.0)) * (1.0 / jnp.pi)
     pos = t * (K - 1)
     j = jnp.clip(pos.astype(jnp.int32), 0, K - 2)
     frac = pos - j.astype(xi.dtype)
-    flat = qtab.reshape(-1)
-    base = rows.astype(jnp.int32) * K
-    q0 = flat[base + j]
-    q1 = flat[base + j + 1]
+    if int(n_rows) <= 1024:
+        # MXU one-hot row gather (bit-exact at HIGHEST precision) + VPU
+        # column select: no serialized per-lane gathers at all
+        rowvals = gather_rows_matmul(qtab, rows.astype(jnp.int32))
+        cols = jnp.arange(K, dtype=jnp.int32)[None, :]
+        q0 = jnp.sum(jnp.where(cols == j[:, None], rowvals, 0), axis=-1)
+        q1 = jnp.sum(jnp.where(cols == j[:, None] + 1, rowvals, 0), axis=-1)
+    else:
+        flat = qtab.reshape(-1)
+        base = rows.astype(jnp.int32) * K
+        q0 = flat[base + j]
+        q1 = flat[base + j + 1]
     v = q0 + frac * (q1 - q0)
     return jnp.exp2(v) if exp2 else v
 
@@ -168,11 +237,11 @@ def sample_cdf(x_grid, cdf, xi, log_interp=False):
     """Invert a single shared CDF for all lanes (vectorized searchsorted)."""
     n = x_grid.shape[0]
     j = jnp.clip(searchsorted_small(cdf, xi, side='right'), 1, n - 1)
-    c0 = cdf[j - 1]
-    c1 = cdf[j]
+    c0 = select_small(cdf, j - 1)
+    c1 = select_small(cdf, j)
     frac = jnp.where(c1 > c0, (xi - c0) / (c1 - c0), 0.0)
-    x0 = x_grid[j - 1]
-    x1 = x_grid[j]
+    x0 = select_small(x_grid, j - 1)
+    x1 = select_small(x_grid, j)
     if log_interp:
         return x0 * (x1 / x0) ** frac
     return x0 + frac * (x1 - x0)
@@ -182,8 +251,8 @@ def interp_loglog(x_table, y_table, x):
     """Batched log-log interpolation of y_table(x_table) at x (clipped)."""
     n = x_table.shape[0]
     j = jnp.clip(searchsorted_small(x_table, x, side='right'), 1, n - 1)
-    x0, x1 = x_table[j - 1], x_table[j]
-    y0, y1 = y_table[j - 1], y_table[j]
+    x0, x1 = select_small(x_table, j - 1), select_small(x_table, j)
+    y0, y1 = select_small(y_table, j - 1), select_small(y_table, j)
     frac = jnp.log(x / x0) / jnp.log(x1 / x0)
     frac = jnp.clip(frac, 0.0, 1.0)
     out = y0 * (y1 / y0) ** frac
@@ -194,8 +263,8 @@ def interp_linear(x_table, y_table, x):
     """Batched linear interpolation (clipped to table range)."""
     n = x_table.shape[0]
     j = jnp.clip(searchsorted_small(x_table, x, side='right'), 1, n - 1)
-    x0, x1 = x_table[j - 1], x_table[j]
-    y0, y1 = y_table[j - 1], y_table[j]
+    x0, x1 = select_small(x_table, j - 1), select_small(x_table, j)
+    y0, y1 = select_small(y_table, j - 1), select_small(y_table, j)
     frac = jnp.clip((x - x0) / (x1 - x0), 0.0, 1.0)
     return y0 + frac * (y1 - y0)
 
