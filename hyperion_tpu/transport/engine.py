@@ -245,16 +245,21 @@ def visit_update(last_uid_cell, n_photons_cell, idx, uid, use_matmul):
     of scatter-order-arbitrary — both are valid dedup tie-breaks)."""
     n_cells = n_photons_cell.shape[0]
     if use_matmul:
+        # the last-uid table may be padded past n_cells+1 (the pallas
+        # deposit_visit layout); only the head participates
+        head = last_uid_cell[:n_cells + 1]
         cols = jnp.arange(n_cells + 1, dtype=jnp.int32)[None, :]
         oh = idx[:, None] == cols
-        prev = jnp.sum(jnp.where(oh, last_uid_cell[None, :], 0), axis=1)
+        prev = jnp.sum(jnp.where(oh, head[None, :], 0), axis=1)
         fresh = prev != uid
         counts = jnp.sum((oh & fresh[:, None]).astype(n_photons_cell.dtype),
                          axis=0)[:n_cells]
         n_photons_cell = n_photons_cell + counts
         sentinel = jnp.asarray(jnp.iinfo(jnp.int32).min, jnp.int32)
         newuid = jnp.max(jnp.where(oh, uid[:, None], sentinel), axis=0)
-        last_uid_cell = jnp.where(newuid > sentinel, newuid, last_uid_cell)
+        head = jnp.where(newuid > sentinel, newuid, head)
+        last_uid_cell = jnp.concatenate([head,
+                                         last_uid_cell[n_cells + 1:]])
         return last_uid_cell, n_photons_cell
     fresh = last_uid_cell[idx] != uid
     n_photons_cell = n_photons_cell.at[
@@ -290,6 +295,15 @@ def make_lucy_step(geometry, dt, st, density, jnu_var_id, jnu_var_frac,
     # mask per step: a clear win for small grids (the MXU replaces the
     # serialized per-lane scatter), a bandwidth loss for big ones.
     use_matmul_stats = n_cells <= 8192
+    # Pallas fused deposit+visit kernel: the one-hot masks stay in VMEM in
+    # a factored (128 x n_cells/128) form, so it wins for any grid that
+    # fits the in-kernel row loop budget (see transport/pallas_ops.py)
+    from . import pallas_ops
+    # (128, B) and (n_cells/128, B) masks must fit VMEM: gate on both the
+    # grid size (kernel row loop) and the batch width (checked per call
+    # site against the actual lane count)
+    pallas_stats_ok = (pallas_ops.is_available() and not spec_on and
+                       n_cells <= 8192 and dtype == jnp.float32)
 
     # ---- packed per-cell lookup table -----------------------------------
     # TPU gathers serialize per lane (~10 ns each) no matter how little data
@@ -415,7 +429,10 @@ def make_lucy_step(geometry, dt, st, density, jnu_var_id, jnu_var_frac,
         # fresh photons get ids from the consumed-budget counter (re-emitted
         # re-absorbed photons keep theirs — same physical photon)
         uid_base = carry.uid_counter
-        uid_new = (uid_base + rank).astype(jnp.int32)
+        # wrap uids below 2^22 so they stay exactly representable in f32
+        # inside the pallas visit kernel; dedup only needs local-in-time
+        # distinctness, so collisions 4M photons apart are harmless
+        uid_new = ((uid_base + rank) % (1 << 22)).astype(jnp.int32)
 
         def m(old, new_):
             return jnp.where(can, new_, old) if old.ndim == 1 else \
@@ -624,15 +641,16 @@ def make_lucy_step(geometry, dt, st, density, jnu_var_id, jnu_var_frac,
                 energy_sum_spec = energy_sum_spec.at[
                     d, ibin_safe, jnp.where(bin_ok, dep_idx, n_cells)
                 ].add(dep, mode='drop')
-        if use_matmul_stats:
-            # masked lanes carry dep == 0, so depositing at cell_safe is a
-            # numerical no-op for them — no drop slot needed
-            energy_sum = scatter_add_matmul(energy_sum, cell_safe,
-                                            jnp.stack(dep_rows))
-        else:
-            for d in range(n_dust):
-                energy_sum = energy_sum.at[d, cell_safe].add(dep_rows[d],
-                                                             mode='drop')
+        if not (pallas_stats_ok and cell_safe.shape[0] <= 16384):
+            if use_matmul_stats:
+                # masked lanes carry dep == 0, so depositing at cell_safe
+                # is a numerical no-op for them — no drop slot needed
+                energy_sum = scatter_add_matmul(energy_sum, cell_safe,
+                                                jnp.stack(dep_rows))
+            else:
+                for d in range(n_dust):
+                    energy_sum = energy_sum.at[d, cell_safe].add(
+                        dep_rows[d], mode='drop')
 
         # --- move (masked: MRW-jumped lanes already moved this step) ---
         x = jnp.where(moving, p.x + d_move * p.kx, p.x)
@@ -652,16 +670,26 @@ def make_lucy_step(geometry, dt, st, density, jnu_var_id, jnu_var_frac,
         # enters the cell than the one recorded there
         enter_idx = jnp.where(moving & hits_wall & (cell != ESCAPED), cell,
                               n_cells)
-        last_uid_cell, n_photons_cell = visit_update(
-            carry.last_uid_cell, carry.n_photons_cell, enter_idx, p.uid,
-            use_matmul_stats)
+        use_pallas_stats = pallas_stats_ok and cell_safe.shape[0] <= 16384
+        if use_pallas_stats:
+            # one fused MXU kernel: deposits + unique-visit counts + the
+            # last-uid winner update (pallas_ops.deposit_visit)
+            energy_sum, n_photons_cell, last_uid_cell = \
+                pallas_ops.deposit_visit(
+                    energy_sum, carry.n_photons_cell, carry.last_uid_cell,
+                    cell_safe, jnp.stack(dep_rows), enter_idx, p.uid)
+        else:
+            last_uid_cell, n_photons_cell = visit_update(
+                carry.last_uid_cell, carry.n_photons_cell, enter_idx, p.uid,
+                use_matmul_stats)
 
         # --- interaction (absorb+re-emit or scatter): shared physics ---
         interacting = moving & ~hits_wall
         evt = interaction_update(
             dt, (k_dust, k_coin, k_nu, k_dir, k_mu, k_phi), interacting,
             p.nu, p.kx, p.ky, p.kz, p.chi, p.albedo, rho_rows, vid_rows,
-            vfrac_rows, dtype, fused_sampler=fused_sampler)
+            vfrac_rows, dtype,
+            fused_sampler=fused_sampler)
         absorbed = evt['absorbed']
         scattered = evt['scattered']
         nu, kx, ky, kz, chi = (evt['nu'], evt['kx'], evt['ky'], evt['kz'],
@@ -804,6 +832,11 @@ run_lucy_iteration = partial(jax.jit,
     lucy_iteration_impl)
 
 
+def _visit_pad(n_cells):
+    from .pallas_ops import pad_cells_for_visit
+    return pad_cells_for_visit(n_cells)
+
+
 def _init_lucy_carry(dt, density, key, n_photons, batch_size, spec_bins):
     n_dust = dt.n_dust
     n_cells = density.shape[1]
@@ -832,7 +865,9 @@ def _init_lucy_carry(dt, density, key, n_photons, batch_size, spec_bins):
         energy_sum=jnp.zeros((n_dust, n_cells), dtype=dtype),
         energy_sum_spec=jnp.zeros((n_dust, n_bins, n_cells), dtype=dtype),
         n_photons_cell=jnp.zeros((n_cells,), dtype=itype),
-        last_uid_cell=jnp.full((n_cells + 1,), -2, dtype=jnp.int32),
+        # padded to the pallas deposit_visit layout (a superset of the
+        # (n_cells+1,) drop-slot layout the XLA paths use)
+        last_uid_cell=jnp.full((_visit_pad(n_cells),), -2, dtype=jnp.int32),
         uid_counter=jnp.asarray(0, dtype=itype),
         killed_int=jnp.asarray(0, dtype=itype),
         killed_geo=jnp.asarray(0, dtype=itype),

@@ -29,22 +29,24 @@ def select_small(table, j, max_materialize=1024):
     return jnp.sum(jnp.where(mask, table.reshape(shape), 0), axis=-1)
 
 
-def gather_rows_matmul(table, rows, max_rows=1024):
+def gather_rows_matmul(table, rows, max_rows=1024, precision=None):
     """``table[rows]`` (row gather from a (n_rows, K) table) as a one-hot
     matmul on the MXU.
 
-    With ``Precision.HIGHEST`` the bf16-pass f32 emulation is BIT-EXACT for
-    a one-hot operand (verified on v5e): each output element is a single
-    1.0*value product accumulated with zeros. TPU row gathers serialize per
-    lane; the MXU does the same job at matmul throughput. Falls back to the
-    native gather for large row counts where the one-hot would dominate."""
+    With ``Precision.HIGHEST`` the bf16-pass f32 emulation of a one-hot
+    product is bit-exact for values of moderate exponent (|x| < ~1e13,
+    verified on v5e — covers the log2/mu quantile tables this is used
+    for) and <5e-7 relative otherwise. TPU row gathers serialize per
+    lane; the MXU does the same job at matmul throughput. Falls back to
+    the native gather for large row counts where the one-hot would
+    dominate."""
     n_rows = int(table.shape[0])
     if n_rows > max_rows:
         return table[rows]
     oh = (rows[:, None] == jnp.arange(n_rows, dtype=jnp.int32)[None, :]
           ).astype(table.dtype)
     return jnp.dot(oh, table, preferred_element_type=table.dtype,
-                   precision=jax.lax.Precision.HIGHEST)
+                   precision=precision or jax.lax.Precision.HIGHEST)
 
 
 def scatter_add_matmul(acc, idx, vals):
@@ -53,10 +55,11 @@ def scatter_add_matmul(acc, idx, vals):
 
     ``acc``: (..., n) accumulator; lanes whose ``idx`` falls outside
     [0, n) match no one-hot column and drop naturally. ``vals``: (..., B)
-    with leading axes matching ``acc``. Products are exact (one-hot);
-    only the accumulation ORDER differs from a serialized scatter-add, so
-    results match to f32 rounding. The MXU turns the serialized per-lane
-    scatter into one matmul."""
+    with leading axes matching ``acc``. One-hot products at HIGHEST are
+    exact to <5e-7 relative (bit-exact for moderate exponents), and the
+    accumulation ORDER differs from a serialized scatter-add — well below
+    both f32 accumulation noise and MC statistics. The MXU turns the
+    serialized per-lane scatter into one matmul."""
     n_tot = int(acc.shape[-1])
     oh = (idx[:, None] == jnp.arange(n_tot, dtype=jnp.int32)[None, :]
           ).astype(acc.dtype)
@@ -191,9 +194,13 @@ def sample_quantile_rows(qtab, rows, xi, exp2=False):
     j = jnp.clip(pos.astype(jnp.int32), 0, K - 2)
     frac = pos - j.astype(xi.dtype)
     if int(n_rows) <= 1024:
-        # MXU one-hot row gather (bit-exact at HIGHEST precision) + VPU
-        # column select: no serialized per-lane gathers at all
-        rowvals = gather_rows_matmul(qtab, rows.astype(jnp.int32))
+        # MXU one-hot row gather + VPU column select: no serialized
+        # per-lane gathers at all.  HIGH (3-pass bf16) keeps the sampled
+        # quantile values to ~1e-5 relative — far inside both the quantile
+        # table's own resolution and any physical requirement — at half
+        # the MXU cost of the bit-exact 6-pass HIGHEST.
+        rowvals = gather_rows_matmul(qtab, rows.astype(jnp.int32),
+                                     precision=jax.lax.Precision.HIGH)
         cols = jnp.arange(K, dtype=jnp.int32)[None, :]
         q0 = jnp.sum(jnp.where(cols == j[:, None], rowvals, 0), axis=-1)
         q1 = jnp.sum(jnp.where(cols == j[:, None] + 1, rowvals, 0), axis=-1)
