@@ -483,7 +483,7 @@ def _spatial_fn(mesh, batch_size_per_device, config_tuple, axis_name,
         from ..transport.mrw import MRWTables
         mrw_spec = MRWTables(alpha_inv_planck=P(axis_name),
                              kappa_planck=cell_sharded,
-                             y_grid=rep, x_grid=rep, gamma=rep)
+                             y_grid=rep, x_grid=rep, x_rows=rep, gamma=rep)
     fn = jax.shard_map(
         per_device, mesh=mesh,
         in_specs=(rep, rep, rep, cell_sharded, cell_sharded, cell_sharded,
