@@ -105,3 +105,62 @@ def test_voronoi_random_position_in_cell():
                                           jnp.float64)
     owner = np.asarray(geo.find_cell(x, y, z, 0 * x, 0 * x, 0 * x + 1))
     assert (owner == np.arange(geo.n_cells)).all()
+
+
+def test_voronoi_lattice_matches_cartesian_engine():
+    """Voronoi transport cross-validated against the cartesian engine: a
+    Voronoi grid whose sites are the centers of a regular lattice has
+    cubic cells identical to the cartesian grid's, so one Lucy iteration
+    on the same absorbing medium must give the same specific-energy field
+    up to MC noise (different traversal code path, different RNG stream
+    pairing; ref: the per-grid differential matrix covers car/cyl/sph/
+    amr/oct against stored Fortran data — Voronoi has no stored
+    reference, so the cartesian engine is the oracle)."""
+    from hyperion_tpu.grid import CartesianGrid
+    from hyperion_tpu.transport import build_cartesian_geometry
+
+    n = 8
+    walls = np.linspace(-1.0, 1.0, n + 1)
+    centers = 0.5 * (walls[1:] + walls[:-1])
+    zz, yy, xx = np.meshgrid(centers, centers, centers, indexing='ij')
+    vgrid = VoronoiGrid(xx.ravel(), yy.ravel(), zz.ravel(),
+                        xmin=-1., xmax=1., ymin=-1., ymax=1.,
+                        zmin=-1., zmax=1.)
+    cgrid = CartesianGrid(walls, walls, walls)
+
+    dust = IsotropicDust(np.logspace(5, 18, 16), np.repeat(0.4, 16),
+                         np.repeat(1.0, 16))
+    dt = build_dust_tables([dust], dtype=jnp.float64)
+    src = PointSource(luminosity=1.0, temperature=4000.0,
+                      position=(0.07, -0.03, 0.02))
+    n_photons = 200000
+
+    fields = {}
+    for name, geo in (('vor', build_voronoi_geometry(vgrid,
+                                                     dtype=jnp.float64)),
+                      ('car', build_cartesian_geometry(cgrid,
+                                                       dtype=jnp.float64))):
+        st = build_source_tables([src], dtype=jnp.float64,
+                                 length_scale=geo.length_scale)
+        density = jnp.asarray(
+            np.full((1, geo.n_cells), 1.2 * geo.length_scale))
+        res = run_lucy(geo, dt, st, density, jax.random.PRNGKey(3),
+                       n_photons=n_photons, n_iterations=1,
+                       batch_size=8192, verbose=False)
+        assert res.killed_geo == 0 and res.killed_int == 0
+        fields[name] = np.asarray(res.specific_energy[0])
+
+    # map the voronoi site ordering onto the cartesian flat ordering
+    vse = fields['vor']
+    i = np.clip(np.searchsorted(walls, vgrid.x) - 1, 0, n - 1)
+    j = np.clip(np.searchsorted(walls, vgrid.y) - 1, 0, n - 1)
+    k = np.clip(np.searchsorted(walls, vgrid.z) - 1, 0, n - 1)
+    vse_cart = np.zeros(n ** 3)
+    vse_cart[(k * n + j) * n + i] = vse
+    cse = fields['car']
+
+    assert (vse_cart > 0).all() and (cse > 0).all()
+    # totals agree tightly; per-cell fields agree to MC noise
+    assert abs(vse_cart.sum() / cse.sum() - 1) < 0.02
+    ratio = vse_cart / cse
+    assert np.percentile(np.abs(np.log10(ratio)), 95) < 0.08
