@@ -116,11 +116,15 @@ def searchsorted_rows(table, rows, x, n=None):
 
     def step(_, lohi):
         lo, hi = lohi
+        # once lo == hi the bracket is closed: further trips must not read
+        # (mid == n would index the NEXT row) or update (lo could leave
+        # [0, n])
+        active = lo < hi
         mid = (lo + hi) // 2
-        v = flat[base + mid]
+        v = flat[base + jnp.minimum(mid, n_cols - 1)]
         go_right = v <= x
-        lo = jnp.where(go_right, mid + 1, lo)
-        hi = jnp.where(go_right, hi, mid)
+        lo = jnp.where(active & go_right, mid + 1, lo)
+        hi = jnp.where(active & ~go_right, mid, hi)
         return lo, hi
 
     lo, hi = jax.lax.fori_loop(0, n_steps, step, (lo, hi))
